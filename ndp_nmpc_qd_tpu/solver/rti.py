@@ -1,0 +1,108 @@
+"""SQP-RTI controller: the TPU-native equivalent of the reference's
+`NMPCBodyRateController` / `NDPNMPCBodyRateController`.
+
+Semantics mirrored from the reference exactly:
+
+- `reset(xr, ur)` seeds every shooting-node iterate with the reference,
+  deliberately killing warm starts across trajectories
+  (`nmpc_ctl/nmpc_body_rate_ctl.py:86-91`).
+- `update(state, x0, xr, ur, f_dist)` performs ONE real-time iteration:
+  linearize the horizon at the current iterates, solve the Gauss-Newton QP
+  with the initial state pinned to x0 (acados `solve_for_x0`,
+  `nmpc_body_rate_ctl.py:93-112`), take the full Newton step, and return
+  u0 = the first control of the updated iterate. Warm starting *within* a
+  trajectory is implicit: the updated iterates carry to the next call.
+- The NDP variant threads per-stage disturbance forces through the dynamics
+  parameter exactly like `ndp_nmpc_ctl/ndp_nmpc_body_rate_ctl.py:91-112`.
+
+Unlike the reference there are no host exceptions: solver health (final
+complementarity, equality residual) is carried in `RtiInfo` as batched arrays
+(see SURVEY §5 failure-detection notes).
+
+Everything is a pure function: `jax.vmap(update)` solves a swarm/scenario
+batch per call, `jax.jit` fuses reference packing + linearization + QP into a
+single device program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..params import OcpParams, VehicleParams
+from .ocp import make_ocp_functions
+from .qp_ipm import solve_qp
+
+
+class RtiState(NamedTuple):
+    """Shooting-node iterates (the acados solver's internal x/u trajectories)."""
+
+    x_bar: jnp.ndarray  # (N+1, nx)
+    u_bar: jnp.ndarray  # (N, nu)
+
+
+class RtiInfo(NamedTuple):
+    mu: jnp.ndarray  # final IPM complementarity (scalar per scenario)
+    eq_res: jnp.ndarray  # final QP equality residual norm
+    ok: jnp.ndarray  # bool health flag
+
+
+class RtiController(NamedTuple):
+    """Bundle of pure functions (closures over static config)."""
+
+    reset: callable
+    update: callable
+    ocp: OcpParams
+    vehicle: VehicleParams
+    with_disturbance: bool
+
+
+def make_rti_controller(
+    ocp: OcpParams,
+    vehicle: VehicleParams,
+    *,
+    with_disturbance: bool = False,
+    qp_iters: int = 18,
+    eq_tol: float = 1e-3,
+) -> RtiController:
+    linearize_horizon, _phi = make_ocp_functions(ocp, vehicle, with_disturbance)
+
+    def reset(xr: jnp.ndarray, ur: jnp.ndarray) -> RtiState:
+        return RtiState(jnp.asarray(xr), jnp.asarray(ur))
+
+    def update(
+        state: RtiState,
+        x0: jnp.ndarray,
+        xr: jnp.ndarray,
+        ur: jnp.ndarray,
+        f_dist: jnp.ndarray | None = None,
+    ):
+        if not with_disturbance:
+            f_dist = None
+        qp = linearize_horizon(state.x_bar, state.u_bar, xr, ur, f_dist)
+        dx0 = x0.astype(state.x_bar.dtype) - state.x_bar[0]
+        sol = solve_qp(qp, dx0, num_iters=qp_iters)
+        new_state = RtiState(state.x_bar + sol.dx, state.u_bar + sol.du)
+        u0 = new_state.u_bar[0]
+        u_lo = jnp.asarray(ocp.u_lower(), u0.dtype)
+        u_hi = jnp.asarray(ocp.u_upper(), u0.dtype)
+        bound_tol = 1e-4 * (u_hi - u_lo)
+        in_box = jnp.all(
+            (new_state.u_bar >= u_lo - bound_tol)
+            & (new_state.u_bar <= u_hi + bound_tol)
+        )
+        # planned velocities at intermediate nodes must respect the state box
+        v_lo = jnp.asarray(ocp.v_lower(), u0.dtype)
+        v_hi = jnp.asarray(ocp.v_upper(), u0.dtype)
+        v_tol = 1e-3 * (v_hi - v_lo)
+        v_plan = new_state.x_bar[1 : ocp.N_node, 3:6]
+        in_box &= jnp.all((v_plan >= v_lo - v_tol) & (v_plan <= v_hi + v_tol))
+        info = RtiInfo(
+            mu=sol.mu,
+            eq_res=sol.eq_res,
+            ok=jnp.isfinite(sol.eq_res) & (sol.eq_res < eq_tol) & in_box,
+        )
+        return u0, new_state, info
+
+    return RtiController(reset, update, ocp, vehicle, with_disturbance)
