@@ -1,0 +1,96 @@
+"""Benchmark: batched NDP-NMPC solves/s on one chip.
+
+Measures the steady-state throughput of the fused control step — downwash-MLP
+forecast + horizon linearization + Riccati-IPM QP solve (N=20, nx=10, nu=4),
+vmapped over a scenario batch — on the default JAX device (the real TPU under
+the driver; CPU if forced).
+
+Baseline: the reference runs ONE acados SQP_RTI solve per 20 ms control
+period per device (`nmpc_params.py:11`, budget analysis in BASELINE.md), i.e.
+50 solves/s/device. `vs_baseline` = solves_per_s / 50.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from ndp_nmpc_qd_tpu.models.downwash_mlp import load_npz, predict_downwash
+    from ndp_nmpc_qd_tpu.models.quadrotor import hover_input, hover_state
+    from ndp_nmpc_qd_tpu.params import NdpNmpcConfig
+    from ndp_nmpc_qd_tpu.solver.rti import make_rti_controller
+
+    import os
+
+    cfg = NdpNmpcConfig()
+    ctl = make_rti_controller(cfg.ocp, cfg.vehicle, with_disturbance=True)
+    N = cfg.ocp.N_node
+    params = load_npz(
+        os.path.join(os.path.dirname(__file__), "assets", "downwash_analytic_sn4.npz")
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    pos = jax.random.uniform(k1, (B, 3), jnp.float32, -1.0, 1.0)
+    x0 = hover_state(pos)
+    xr = jnp.tile(hover_state(jnp.zeros((B, 3)))[:, None, :], (1, N + 1, 1))
+    ur = jnp.tile(hover_input(cfg.vehicle, (B,))[:, None, :], (1, N, 1))
+    # other-drone horizons hovering above: keeps the MLP forecast active
+    other = xr.at[:, :, 2].add(0.9)
+
+    def control_step(rti, x0, xr, ur, other):
+        f = predict_downwash(
+            params, other, xr, r_horiz=cfg.downwash.r_horiz,
+            ego_gate_pos=x0[..., 0:3],
+        )
+        return jax.vmap(ctl.update)(rti, x0, xr, ur, f)
+
+    rti = jax.vmap(ctl.reset)(xr, ur)
+    step = jax.jit(control_step)
+
+    t0 = time.perf_counter()
+    u0, rti, info = step(rti, x0, xr, ur, other)
+    jax.block_until_ready(u0)
+    compile_s = time.perf_counter() - t0
+
+    # steady state: time individual steps for p50/p99
+    lat = []
+    iters = 30
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        u0, rti, info = step(rti, x0, xr, ur, other)
+        jax.block_until_ready(u0)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    mean = sum(lat) / len(lat)
+    solves_per_s = B / mean
+    n_ok = int(jnp.sum(info.ok))
+
+    print(
+        f"device={jax.devices()[0]} B={B} compile={compile_s:.1f}s "
+        f"step p50={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms ok={n_ok}/{B}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ndp_nmpc_solves_per_s_chip",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / 50.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
