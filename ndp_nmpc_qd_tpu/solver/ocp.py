@@ -137,7 +137,11 @@ def make_ocp_functions(ocp: OcpParams, vehicle: VehicleParams, with_disturbance:
             J = jax.jacfwd(resid)(z)  # (14, 14)
             We = w_diag * e
             WJ = w_diag[:, None] * J
-            H = stage_scale * (J.T @ WJ)  # (14,14) GN Hessian
+            # full f32 precision: the GN Hessian feeds a 20-stage recursion
+            # where the MXU's default bf16 passes visibly degrade controls
+            H = stage_scale * jnp.matmul(
+                J.T, WJ, precision=jax.lax.Precision.HIGHEST
+            )
             g = stage_scale * (J.T @ We)
 
             x_next = phi(xb, ub, fd_i)
@@ -162,7 +166,9 @@ def make_ocp_functions(ocp: OcpParams, vehicle: VehicleParams, with_disturbance:
 
         eN = resid_N(x_bar[N])
         JN = jax.jacfwd(resid_N)(x_bar[N])
-        HN = JN.T @ (q_diag[:, None] * JN)
+        HN = jnp.matmul(
+            JN.T, q_diag[:, None] * JN, precision=jax.lax.Precision.HIGHEST
+        )
         gN = JN.T @ (q_diag * eN)
 
         Hxx = jnp.concatenate([Hxx_s, HN[None]], axis=0)

@@ -106,3 +106,92 @@ def make_rti_controller(
         return u0, new_state, info
 
     return RtiController(reset, update, ocp, vehicle, with_disturbance)
+
+
+def make_batched_rti_controller(
+    ocp: OcpParams,
+    vehicle: VehicleParams,
+    *,
+    with_disturbance: bool = False,
+    qp_iters: int = 18,
+    eq_tol: float = 1e-3,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> RtiController:
+    """Batch-first RTI controller: all arguments carry a leading scenario
+    axis B and the QP batch is solved by the packed Pallas IPM
+    (`solver/qp_ipm_packed.py`) — the production TPU path. With
+    backend="jax" it falls back to `jax.vmap` over the scan-based solver
+    (used on CPU and for tiny batches where padding to the 1024-lane block
+    would waste the chip).
+
+    Semantics are identical to `make_rti_controller` + outer vmap.
+    """
+    import jax
+
+    from .qp_ipm_packed import solve_qp_packed
+
+    if backend == "auto":
+        # Pallas kernels lower for TPU only (incl. the axon tunnel backend);
+        # CPU runs the scan path (or interpret mode when requested).
+        backend = (
+            "pallas"
+            if (interpret or jax.default_backend() not in ("cpu",))
+            else "jax"
+        )
+
+    linearize_horizon, _phi = make_ocp_functions(ocp, vehicle, with_disturbance)
+    per_scenario = make_rti_controller(
+        ocp, vehicle, with_disturbance=with_disturbance, qp_iters=qp_iters,
+        eq_tol=eq_tol,
+    )
+
+    def reset(xr: jnp.ndarray, ur: jnp.ndarray) -> RtiState:
+        return RtiState(jnp.asarray(xr), jnp.asarray(ur))
+
+    if backend == "jax":
+
+        def update(state, x0, xr, ur, f_dist=None):
+            if with_disturbance and f_dist is None:
+                f_dist = jnp.zeros(xr.shape[:-1] + (3,), xr.dtype)
+            if with_disturbance:
+                return jax.vmap(per_scenario.update)(state, x0, xr, ur, f_dist)
+            return jax.vmap(
+                lambda s, x, xr_, ur_: per_scenario.update(s, x, xr_, ur_)
+            )(state, x0, xr, ur)
+
+        return RtiController(reset, update, ocp, vehicle, with_disturbance)
+
+    def update(state, x0, xr, ur, f_dist=None):
+        if not with_disturbance:
+            f_dist = None
+        qp = jax.vmap(linearize_horizon)(
+            state.x_bar, state.u_bar, xr, ur, f_dist
+        )
+        dx0 = x0.astype(state.x_bar.dtype) - state.x_bar[:, 0]
+        sol = solve_qp_packed(qp, dx0, num_iters=qp_iters, interpret=interpret)
+        new_state = RtiState(state.x_bar + sol.dx, state.u_bar + sol.du)
+        u0 = new_state.u_bar[:, 0]
+        u_lo = jnp.asarray(ocp.u_lower(), u0.dtype)
+        u_hi = jnp.asarray(ocp.u_upper(), u0.dtype)
+        bound_tol = 1e-4 * (u_hi - u_lo)
+        in_box = jnp.all(
+            (new_state.u_bar >= u_lo - bound_tol)
+            & (new_state.u_bar <= u_hi + bound_tol),
+            axis=(1, 2),
+        )
+        v_lo = jnp.asarray(ocp.v_lower(), u0.dtype)
+        v_hi = jnp.asarray(ocp.v_upper(), u0.dtype)
+        v_tol = 1e-3 * (v_hi - v_lo)
+        v_plan = new_state.x_bar[:, 1 : ocp.N_node, 3:6]
+        in_box &= jnp.all(
+            (v_plan >= v_lo - v_tol) & (v_plan <= v_hi + v_tol), axis=(1, 2)
+        )
+        info = RtiInfo(
+            mu=sol.mu,
+            eq_res=sol.eq_res,
+            ok=jnp.isfinite(sol.eq_res) & (sol.eq_res < eq_tol) & in_box,
+        )
+        return u0, new_state, info
+
+    return RtiController(reset, update, ocp, vehicle, with_disturbance)
