@@ -56,8 +56,9 @@ def run_mission(args) -> dict:
         "one_qd": dict(n_drones=1),
         "three_qd": dict(n_drones=3),
         "three_qd_ndp": dict(n_drones=3, use_ndp=True, true_downwash=True),
-        "four_qd": dict(n_drones=4),
-        "swarm": dict(n_drones=args.drones),
+        # four_qd_nmpc.launch: four INDEPENDENT drones, own trajectories
+        "four_qd": dict(n_drones=4, independent=True),
+        "swarm": dict(n_drones=args.drones, independent=True),
     }[args.topology]
 
     cfg = NdpNmpcConfig(sim=SimParams(k_throttle_true=args.k_true))
@@ -105,25 +106,82 @@ def run_mission(args) -> dict:
     return result
 
 
+def run_node(args) -> dict:
+    """Runtime daemons over the shared-memory bus (the rosrun analog)."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from .runtime.nodes import ControllerDaemon, PlantDaemon, send_trajectory
+
+    if args.node == "serve":
+        daemon = ControllerDaemon(args.ns, leader_ns=args.leader_ns)
+        return daemon.run(max_ticks=args.max_ticks)
+    if args.node == "simnode":
+        daemon = PlantDaemon(args.ns)
+        return daemon.run(max_ticks=args.max_ticks)
+    if args.node == "send":
+        traj = build_eight(scale=args.scale)
+        res, fb = send_trajectory(args.ns, traj, goal_id=int(time.time()) % 10000)
+        return {
+            "status": int(res["status"]),
+            "pos_rmse": float(res["pos_rmse"]),
+            "yaw_rmse": float(res["yaw_rmse"]),
+            "feedback_msgs": len(fb),
+        }
+    raise ValueError(args.node)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="ndp_nmpc_qd_tpu", description=__doc__)
-    ap.add_argument(
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    mission = sub.add_parser(
+        "mission", help="in-graph closed-loop missions (launch-file analog)"
+    )
+    mission.add_argument(
         "topology",
         choices=["one_qd", "three_qd", "three_qd_ndp", "four_qd", "swarm"],
     )
-    ap.add_argument("--drones", type=int, default=4096, help="swarm size")
-    ap.add_argument("--track-secs", type=float, default=16.0)
-    ap.add_argument("--hold-ticks", type=int, default=200)
-    ap.add_argument("--k-true", type=float, default=46.0)
-    ap.add_argument("--nn", default=None, help="downwash net .npz")
-    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--f64", action="store_true")
-    args = ap.parse_args(argv)
+    mission.add_argument("--drones", type=int, default=4096, help="swarm size")
+    mission.add_argument("--track-secs", type=float, default=16.0)
+    mission.add_argument("--hold-ticks", type=int, default=200)
+    mission.add_argument("--k-true", type=float, default=46.0)
+    mission.add_argument("--nn", default=None, help="downwash net .npz")
+    mission.add_argument("--cpu", action="store_true", help="force CPU backend")
+    mission.add_argument("--f64", action="store_true")
 
-    result = run_mission(args)
-    print(json.dumps(result))
-    if not all(result["ok"]):
-        raise SystemExit(2)
+    for name, hlp in [
+        ("serve", "NMPC controller daemon over the qdio bus"),
+        ("simnode", "plant (dop_sim role) daemon over the qdio bus"),
+        ("send", "send a trajectory goal and await the RMSE result"),
+    ]:
+        p = sub.add_parser(name, help=hlp)
+        p.add_argument("--ns", default="fhnp")
+        p.add_argument("--leader-ns", default=None)
+        p.add_argument("--max-ticks", type=int, default=0, help="0 = forever")
+        p.add_argument("--scale", type=float, default=1.0)
+        p.add_argument("--cpu", action="store_true")
+        p.set_defaults(node=name)
+
+    # back-compat: bare topology == mission subcommand
+    argv = list(argv) if argv is not None else None
+    import sys as _sys
+
+    raw = argv if argv is not None else _sys.argv[1:]
+    if raw and raw[0] in ("one_qd", "three_qd", "three_qd_ndp", "four_qd", "swarm"):
+        raw = ["mission"] + list(raw)
+    args = ap.parse_args(raw)
+
+    if args.cmd == "mission":
+        result = run_mission(args)
+        print(json.dumps(result))
+        if not all(result["ok"]):
+            raise SystemExit(2)
+    else:
+        result = run_node(args)
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,354 @@
+"""Process-level nodes over the qdio bus: the interactive/hardware-facing
+runtime (the reference's L4 node layer).
+
+The benchmark path runs everything in one fused device program
+(`sim/closed_loop.py`); THIS layer is the mavros-shaped async boundary for
+interactive and hardware-in-the-loop use, mirroring the reference topology
+one-to-one:
+
+  ControllerDaemon  <->  ControllerNode (nmpc_node.py): odom in, body-rate
+                         command out, PredXU horizon out, TrackTraj
+                         goal/feedback/result protocol, hover-throttle
+                         estimator gating, hold-point idle behavior.
+  PlantDaemon       <->  dop_sim: integrates the quadrotor at a fixed rate,
+                         publishes odometry, consumes AttitudeTarget.
+  send_trajectory   <->  cmd_pc's action client: publish a TrajCoefficients
+                         goal, stream feedback, collect the RMSE result.
+
+Topics per namespace `ns` (shared-memory, latest-value):
+  <ns>/odom, <ns>/attitude_target, <ns>/ref_x_u, <ns>/traj_goal,
+  <ns>/traj_feedback, <ns>/traj_result, <ns>/formation_ref
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import bus as qb
+
+
+@dataclass
+class NodeTopics:
+    ns: str
+
+    def __post_init__(self):
+        self.odom = qb.Topic(f"{self.ns}/odom", qb.ODOMETRY)
+        self.att = qb.Topic(f"{self.ns}/attitude_target", qb.ATTITUDE_TARGET)
+        self.ref_x_u = qb.Topic(f"{self.ns}/ref_x_u", qb.PRED_XU)
+        self.goal = qb.Topic(f"{self.ns}/traj_goal", qb.TRAJ_COEFF)
+        self.feedback = qb.Topic(f"{self.ns}/traj_feedback", qb.TRACK_FEEDBACK)
+        self.result = qb.Topic(f"{self.ns}/traj_result", qb.TRACK_RESULT)
+        self.formation_ref = qb.Topic(f"{self.ns}/formation_ref", qb.POINT)
+
+    @staticmethod
+    def unlink(ns: str):
+        for t in (
+            "odom", "attitude_target", "ref_x_u", "traj_goal",
+            "traj_feedback", "traj_result", "formation_ref",
+        ):
+            qb.Topic.unlink(f"{ns}/{t}")
+
+
+def _odom_to_x(m) -> np.ndarray:
+    return np.concatenate([m["pos"], m["vel"], m["quat"]])
+
+
+class ControllerDaemon:
+    """One quadrotor's NMPC controller over the bus (single scenario).
+
+    run(max_ticks) executes the 50 Hz loop; designed to be started in its
+    own process per namespace, like the reference's one-node-per-drone
+    launch files.
+    """
+
+    def __init__(
+        self,
+        ns: str,
+        cfg=None,
+        *,
+        leader_ns: str | None = None,
+        use_ndp: bool = False,
+        downwash_params=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..estimators.hover_throttle import (
+            hover_throttle_init,
+            hover_throttle_update,
+            throttle_from_collective,
+        )
+        from ..params import NdpNmpcConfig
+        from ..solver.rti import make_rti_controller
+        from ..swarm.formation import rate_converted_alpha
+        from ..traj.refgen import gen_fix_pt_ref, nmpc_refs
+
+        self.cfg = cfg or NdpNmpcConfig()
+        self.ns = ns
+        self.leader_ns = leader_ns
+        self.use_ndp = use_ndp
+        self.t = NodeTopics(ns)
+        self.leader_ref = (
+            qb.Topic(f"{leader_ns}/ref_x_u", qb.PRED_XU) if leader_ns else None
+        )
+        ocp, veh = self.cfg.ocp, self.cfg.vehicle
+
+        self.ctl = make_rti_controller(ocp, veh, with_disturbance=True)
+        self._update = jax.jit(self.ctl.update)
+        self._gen_fix = jax.jit(lambda x: gen_fix_pt_ref(x, ocp, veh))
+        self._nmpc_refs = None  # jitted per-trajectory (segment count static)
+        self._jnp = jnp
+        self._nmpc_refs_fn = nmpc_refs
+        self._hv_init = lambda: hover_throttle_init(
+            self.cfg.estimator, dtype=jnp.float64
+        )
+        self._hv_update = jax.jit(
+            lambda st, vz, th: hover_throttle_update(
+                st, vz, th, self.cfg.estimator
+            )
+        )
+        self._throttle = throttle_from_collective
+        self._alpha = rate_converted_alpha(0.8, 0.05, ocp.ts_nmpc)
+
+        if use_ndp:
+            from ..models.downwash_mlp import predict_downwash
+
+            self._predict = jax.jit(
+                lambda p, other, ego, gate: predict_downwash(
+                    p, other, ego, r_horiz=self.cfg.downwash.r_horiz,
+                    ego_gate_pos=gate,
+                )
+            )
+            self._dw_params = downwash_params
+
+    def run(self, max_ticks: int = 0, ready_event=None):
+        import jax.numpy as jnp
+
+        ocp, veh = self.cfg.ocp, self.cfg.vehicle
+        N = ocp.N_node
+
+        # wait for first odometry (the FC-connection gate, nmpc_node.py:77-80)
+        while True:
+            seq, odom = self.t.odom.read_latest()
+            if seq > 0:
+                break
+            time.sleep(0.05)
+
+        x_now = _odom_to_x(odom)
+        xr, ur = self._gen_fix(jnp.asarray(x_now))
+        state = self.ctl.reset(xr, ur)
+        est = self._hv_init()
+        est_active = True
+        lpf_off = None
+
+        traj = None
+        traj_t0 = 0.0
+        goal_id = -1
+        goal_seq_seen = self.t.goal.count
+        err2 = np.zeros(2)
+        n_err = 0
+        last_thrust = 0.0
+        f_dist = jnp.zeros((N + 1, 3))
+
+        rate = qb.Rate(ocp.ts_nmpc)
+        if ready_event is not None:
+            ready_event.set()
+        tick = 0
+        while max_ticks == 0 or tick < max_ticks:
+            tick += 1
+            overrun = rate.sleep()
+
+            seq, odom = self.t.odom.read_latest()
+            x_now = _odom_to_x(odom)
+
+            # --- goal intake (the action server role) ---
+            if self.t.goal.count > goal_seq_seen:
+                goal_seq_seen = self.t.goal.count
+                _, gmsg = self.t.goal.read_latest()
+                traj = qb.msg_to_traj(gmsg)
+                goal_id = int(gmsg["goal_id"])
+                err2[:] = 0.0
+                n_err = 0
+                est_active = False  # estimator frozen while tracking
+                import jax
+
+                self._nmpc_refs = jax.jit(
+                    lambda tt: self._nmpc_refs_fn(traj, tt, ocp, veh)
+                )
+                # reset the controller from the new reference (anti warm
+                # start) — this call also pays the per-trajectory jit compile,
+                # so start the mission clock only AFTER it returns (the
+                # reference likewise builds its solver before flying)
+                xr, ur = self._nmpc_refs(jnp.asarray(0.0))
+                import jax as _j
+
+                _j.block_until_ready(xr)
+                state = self.ctl.reset(xr, ur)
+                traj_t0 = qb.now()
+
+            # --- reference selection ---
+            if traj is not None:
+                tt = qb.now() - traj_t0
+                t_all = float(traj.t_cum[-1])
+                xr, ur = self._nmpc_refs(jnp.asarray(tt))
+                if tt >= t_all:  # finished: result + back to hold
+                    res = np.zeros((), qb.TRACK_RESULT)
+                    res["goal_id"] = goal_id
+                    res["status"] = 1
+                    res["pos_rmse"] = np.sqrt(err2[0] / max(n_err, 1))
+                    res["yaw_rmse"] = np.sqrt(err2[1] / max(n_err, 1))
+                    res["t"] = qb.now()
+                    self.t.result.publish(res)
+                    traj = None
+                    est_active = True
+            elif self.leader_ref is not None:
+                lseq, lmsg = self.leader_ref.read_latest()
+                fseq, fmsg = self.t.formation_ref.read_latest()
+                off = fmsg["xyz"] if fseq > 0 else np.zeros(3)
+                lpf_off = (
+                    off
+                    if lpf_off is None
+                    else self._alpha * lpf_off + (1 - self._alpha) * off
+                )
+                if lseq > 0:
+                    xr = jnp.asarray(lmsg["x"]).at[:, 0:3].add(
+                        jnp.asarray(lpf_off)
+                    )
+                    ur = jnp.asarray(lmsg["u"])
+
+            # --- NDP disturbance forecast from the leader's companion ---
+            if self.use_ndp and self.leader_ref is not None:
+                pass  # follower doesn't forecast
+            # (leader-side NDP uses another drone's ref; see mission scripts)
+
+            # --- solve + publish ---
+            u0, state, info = self._update(
+                state, jnp.asarray(x_now), xr, ur, f_dist
+            )
+            u0 = np.asarray(u0)
+            k_th = float(np.asarray(est.x[1]))
+            thrust = float(
+                self._throttle(jnp.asarray(u0[3]), jnp.asarray(k_th), veh.mass)
+            )
+            att = np.zeros((), qb.ATTITUDE_TARGET)
+            att["t"] = qb.now()
+            att["body_rate"] = u0[0:3]
+            att["thrust"] = thrust
+            att["type_mask"] = 128  # IGNORE_ATTITUDE
+            self.t.att.publish(att)
+            last_thrust = thrust
+
+            pred = np.zeros((), qb.PRED_XU)
+            pred["t"] = qb.now()
+            pred["x"] = np.asarray(xr)
+            pred["u"] = np.asarray(ur)
+            self.t.ref_x_u.publish(pred)
+
+            # --- estimator tick (gated like the reference timer) ---
+            if est_active:
+                est, _ = self._hv_update(
+                    est, jnp.asarray(float(x_now[5])), jnp.asarray(last_thrust)
+                )
+
+            # --- tracking error + feedback ---
+            if traj is not None:
+                from ..traj.polyopt import eval_traj
+
+                fo = eval_traj(traj, jnp.asarray(qb.now() - traj_t0))
+                pe = float(np.sum((np.asarray(fo.pos) - x_now[0:3]) ** 2))
+                q = x_now[6:10]
+                yaw_now = np.arctan2(
+                    2 * (q[0] * q[3] + q[1] * q[2]),
+                    1 - 2 * (q[2] ** 2 + q[3] ** 2),
+                )
+                ye = float(np.degrees(float(fo.yaw) - yaw_now) ** 2)
+                err2 += [pe, ye]
+                n_err += 1
+                fb = np.zeros((), qb.TRACK_FEEDBACK)
+                fb["t"] = qb.now()
+                fb["goal_id"] = goal_id
+                fb["percent_complete"] = min(
+                    (qb.now() - traj_t0) / float(traj.t_cum[-1]), 1.0
+                )
+                fb["pos_error"] = pe
+                fb["yaw_error"] = ye
+                self.t.feedback.publish(fb)
+
+        return dict(ticks=rate.ticks, overruns=rate.overruns)
+
+
+class PlantDaemon:
+    """The dop_sim role: integrates one quadrotor, bridges the bus."""
+
+    def __init__(self, ns: str, cfg=None, x0=None):
+        from ..params import NdpNmpcConfig
+
+        self.cfg = cfg or NdpNmpcConfig()
+        self.ns = ns
+        self.t = NodeTopics(ns)
+        self.x0 = x0 if x0 is not None else np.array(
+            [0, 0, 1, 0, 0, 0, 1, 0, 0, 0], dtype=np.float64
+        )
+
+    def run(self, max_ticks: int = 0, rate_hz: float = 200.0, ready_event=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..sim.plant import plant_init, plant_step
+
+        veh, sim = self.cfg.vehicle, self.cfg.sim
+        dt = 1.0 / rate_hz
+        step = jax.jit(
+            lambda st, w, th: plant_step(
+                st, w, th, jnp.zeros(3), dt, veh, sim
+            )
+        )
+        st = plant_init(jnp.asarray(self.x0), veh)
+
+        rate = qb.Rate(dt)
+        if ready_event is not None:
+            ready_event.set()
+        tick = 0
+        hover_th = veh.mass * veh.gravity / sim.k_throttle_true
+        while max_ticks == 0 or tick < max_ticks:
+            tick += 1
+            rate.sleep()
+            seq, att = self.t.att.read_latest()
+            if seq > 0:
+                w = jnp.asarray(att["body_rate"])
+                th = jnp.asarray(float(att["thrust"]))
+            else:
+                w = jnp.zeros(3)
+                th = jnp.asarray(hover_th)
+            st = step(st, w, th)
+            x = np.asarray(st.x)
+            m = np.zeros((), qb.ODOMETRY)
+            m["t"] = qb.now()
+            m["pos"] = x[0:3]
+            m["vel"] = x[3:6]
+            m["quat"] = x[6:10]
+            self.t.odom.publish(m)
+        return dict(ticks=rate.ticks, overruns=rate.overruns)
+
+
+def send_trajectory(ns: str, traj, goal_id: int = 1, timeout_s: float = 60.0):
+    """cmd_pc action-client role: send a goal, stream feedback, return the
+    result record (blocks until the controller reports done or timeout)."""
+    topics = NodeTopics(ns)
+    topics.goal.publish(qb.traj_to_msg(traj, goal_id))
+    t0 = qb.now()
+    result_count0 = topics.result.count
+    feedback = []
+    while qb.now() - t0 < timeout_s:
+        if topics.result.count > result_count0:
+            _, res = topics.result.read_latest()
+            if int(res["goal_id"]) == goal_id:
+                return res, feedback
+        fseq, fb = topics.feedback.read_latest()
+        if fseq > 0 and int(fb["goal_id"]) == goal_id:
+            feedback.append(fb.copy())
+        time.sleep(0.05)
+    raise TimeoutError(f"no result from {ns} within {timeout_s}s")

@@ -41,7 +41,7 @@ from ..models.downwash_mlp import MlpParams, predict_downwash
 from ..models.quadrotor import hover_state
 from ..ops import quat
 from ..params import NdpNmpcConfig
-from ..solver.rti import RtiState, make_rti_controller
+from ..solver.rti import RtiState, make_batched_rti_controller
 from ..swarm.formation import (
     offset_references,
     rate_converted_alpha,
@@ -89,12 +89,19 @@ def make_episode(
     qp_iters: int = 18,
     record_traces: bool = False,
     hold_ticks: int = 0,
+    independent: bool = False,
+    solver_backend: str = "auto",
 ):
     """Build (init_fn, step_fn, run_fn) for a swarm episode.
 
     Drone 0 is the leader tracking `traj`; drones 1.. follow with filtered
     offsets. `use_ndp` enables the leader's downwash forecast (requires
     `downwash_params`). `true_downwash` turns on plant-side coupling.
+
+    `independent` reproduces the four_qd topology
+    (`launch/four_qd_nmpc.launch`): every drone is its own leader tracking a
+    spatially offset copy of the trajectory — no horizon exchange, no
+    offset filtering, no downwash forecast.
 
     `hold_ticks` reproduces the reference's mission phasing: the episode
     starts with a hold-point phase during which the hover-throttle estimator
@@ -104,8 +111,19 @@ def make_episode(
     during the tracking phase, like `cum_error` in the action loop.
     """
     ocp, veh, est_p, dw = cfg.ocp, cfg.vehicle, cfg.estimator, cfg.downwash
-    ctl = make_rti_controller(
-        ocp, veh, with_disturbance=True, qp_iters=qp_iters
+    # batched controller: Pallas packed path once the drone batch is big
+    # enough to fill its 1024-lane blocks, scan path otherwise
+    if solver_backend == "auto":
+        import jax as _jax
+
+        solver_backend = (
+            "pallas"
+            if n_drones >= 512 and _jax.default_backend() != "cpu"
+            else "jax"
+        )
+    ctl = make_batched_rti_controller(
+        ocp, veh, with_disturbance=True, qp_iters=qp_iters,
+        backend=solver_backend,
     )
     if formation_fn is None:
         formation_fn = partial(reference_formation_offsets, n_drones=n_drones)
@@ -119,7 +137,7 @@ def make_episode(
         x0 = jnp.tile(leader_x0, (D, 1)).at[:, 0:3].add(offsets0.astype(dtype))
 
         xr0, ur0 = jax.vmap(lambda x: gen_fix_pt_ref(x, ocp, veh))(x0)
-        rti0 = jax.vmap(ctl.reset)(xr0, ur0)
+        rti0 = ctl.reset(xr0, ur0)
         return EpisodeState(
             plant=plant_init(x0, veh),
             rti=rti0,
@@ -150,16 +168,27 @@ def make_episode(
         xr_L = jnp.where(in_hold, st.hold_xr[0], xr_T.astype(dtype))
         ur_L = jnp.where(in_hold, st.hold_ur[0], ur_T.astype(dtype))
 
-        # 2. follower references from the leader's PREVIOUS horizon
-        raw_off = formation_fn(st.plant.x[0]).astype(dtype)
-        lpf = alpha_tick * st.lpf_offset + (1 - alpha_tick) * raw_off
-        xr_F, ur_F = offset_references(st.prev_ref_x[0], st.prev_ref_u[0], lpf)
-        xr = jnp.concatenate([xr_L[None], xr_F[1:]], axis=0)  # (D, N+1, 10)
-        ur = jnp.concatenate([ur_L[None], ur_F[1:]], axis=0)
+        if independent:
+            # four_qd: every drone tracks its own offset copy of the
+            # trajectory — no exchange, no filtering
+            lpf = st.lpf_offset
+            xr = jnp.broadcast_to(xr_L[None], (D,) + xr_L.shape).at[
+                ..., 0:3
+            ].add(lpf[:, None, :])
+            ur = jnp.broadcast_to(ur_L[None], (D,) + ur_L.shape)
+        else:
+            # 2. follower references from the leader's PREVIOUS horizon
+            raw_off = formation_fn(st.plant.x[0]).astype(dtype)
+            lpf = alpha_tick * st.lpf_offset + (1 - alpha_tick) * raw_off
+            xr_F, ur_F = offset_references(
+                st.prev_ref_x[0], st.prev_ref_u[0], lpf
+            )
+            xr = jnp.concatenate([xr_L[None], xr_F[1:]], axis=0)  # (D, N+1, 10)
+            ur = jnp.concatenate([ur_L[None], ur_F[1:]], axis=0)
 
         # 3. NDP disturbance forecast (leader only, from drone 1's horizon)
         f_dist = jnp.zeros((D, N + 1, 3), dtype)
-        if use_ndp and D > 1:
+        if use_ndp and D > 1 and not independent:
             f_leader = predict_downwash(
                 downwash_params,
                 st.prev_ref_x[1],
@@ -169,9 +198,9 @@ def make_episode(
             )
             f_dist = f_dist.at[0].set(f_leader.astype(dtype))
 
-        # 4. one RTI solve per drone
+        # 4. one RTI solve per drone (batched controller)
         x0 = st.plant.x
-        u0, rti, info = jax.vmap(ctl.update)(st.rti, x0, xr, ur, f_dist)
+        u0, rti, info = ctl.update(st.rti, x0, xr, ur, f_dist)
 
         # 5. throttle conversion + estimator tick (frozen while tracking,
         #    matching the reference's timer shutdown/restart)

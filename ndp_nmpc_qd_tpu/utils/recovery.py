@@ -1,0 +1,52 @@
+"""Failure detection and in-batch recovery.
+
+The reference's failure story is crash-and-restart: acados status != 0
+raises, killing the ROS node (`nmpc_body_rate_ctl.py:109-110`), and the
+launch file's respawn="true" restarts it (`launch/one_qd_nmpc.launch:4`),
+after which `__init__` re-seeds the controller from a hold-point reference.
+
+In a batched SPMD program a host exception for one scenario would kill all
+of them, so recovery is data: `recover_rti` rebuilds the solver iterates of
+every unhealthy scenario from its reference trajectory (exactly the
+`reset()` semantics, `nmpc_body_rate_ctl.py:86-91`) while leaving healthy
+scenarios' warm starts untouched. `screen_nan` extends the health flag with
+non-finite screens on arbitrary pytrees.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.rti import RtiState
+
+
+def screen_nan(tree, ok: jnp.ndarray) -> jnp.ndarray:
+    """AND per-scenario finiteness of every leaf into ok.
+
+    Leaves must have a leading scenario axis matching ok's shape.
+    """
+
+    def leaf_ok(x):
+        axes = tuple(range(ok.ndim, x.ndim))
+        return jnp.all(jnp.isfinite(x), axis=axes)
+
+    flags = [leaf_ok(x) for x in jax.tree.leaves(tree)]
+    for f in flags:
+        ok = ok & f
+    return ok
+
+
+def recover_rti(
+    state: RtiState, ok: jnp.ndarray, xr: jnp.ndarray, ur: jnp.ndarray
+) -> RtiState:
+    """Re-seed unhealthy scenarios' iterates from the reference.
+
+    state: batched RtiState (B, ...); ok: (B,) health flags;
+    xr (B, N+1, nx), ur (B, N, nu): the reset targets.
+    """
+    m = ok[:, None, None]
+    return RtiState(
+        x_bar=jnp.where(m, state.x_bar, xr),
+        u_bar=jnp.where(m, state.u_bar, ur),
+    )

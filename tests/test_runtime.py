@@ -1,0 +1,169 @@
+"""Native runtime tests: shared-memory bus semantics, seqlock integrity
+under concurrent writes, the rate executor, and a live two-thread
+plant+controller mission through the full TrackTraj protocol."""
+
+import threading
+import time
+import uuid
+
+import numpy as np
+import pytest
+
+from ndp_nmpc_qd_tpu.runtime import bus as qb
+
+
+@pytest.fixture
+def ns():
+    name = f"test_{uuid.uuid4().hex[:8]}"
+    yield name
+    from ndp_nmpc_qd_tpu.runtime.nodes import NodeTopics
+
+    NodeTopics.unlink(name)
+
+
+def test_pub_sub_roundtrip(ns):
+    t = qb.Topic(f"{ns}/odom", qb.ODOMETRY)
+    seq, _ = t.read_latest()
+    assert seq == 0  # nothing yet
+
+    m = np.zeros((), qb.ODOMETRY)
+    m["pos"] = [1.0, 2.0, 3.0]
+    m["quat"] = [1.0, 0, 0, 0]
+    t.publish(m)
+    seq, got = t.read_latest()
+    assert seq == 1
+    np.testing.assert_array_equal(got["pos"], [1.0, 2.0, 3.0])
+
+    # second reader attaches to the same shm
+    t2 = qb.Topic(f"{ns}/odom", qb.ODOMETRY)
+    seq, got = t2.read_latest()
+    assert seq == 1
+    np.testing.assert_array_equal(got["pos"], [1.0, 2.0, 3.0])
+    t.close()
+    t2.close()
+    qb.Topic.unlink(f"{ns}/odom")
+
+
+def test_latest_value_semantics(ns):
+    t = qb.Topic(f"{ns}/x", qb.POINT)
+    for k in range(20):
+        m = np.zeros((), qb.POINT)
+        m["xyz"] = [k, 0, 0]
+        t.publish(m)
+    seq, got = t.read_latest()
+    assert seq == 20
+    assert got["xyz"][0] == 19.0
+    t.close()
+    qb.Topic.unlink(f"{ns}/x")
+
+
+def test_seqlock_no_torn_reads(ns):
+    """Hammer a topic from a writer thread; every read must be a consistent
+    snapshot (all lanes equal), never a torn mix of two messages."""
+    t_w = qb.Topic(f"{ns}/big", qb.PRED_XU)
+    t_r = qb.Topic(f"{ns}/big", qb.PRED_XU)
+    stop = threading.Event()
+
+    def writer():
+        k = 0
+        m = np.zeros((), qb.PRED_XU)
+        while not stop.is_set():
+            k += 1
+            m["x"][:] = float(k)
+            m["u"][:] = float(k)
+            t_w.publish(m)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    torn = 0
+    reads = 0
+    t_end = time.time() + 2.0
+    while time.time() < t_end:
+        seq, got = t_r.read_latest()
+        if seq <= 0:
+            continue
+        reads += 1
+        vals = set(np.unique(got["x"])) | set(np.unique(got["u"]))
+        if len(vals) != 1:
+            torn += 1
+    stop.set()
+    th.join()
+    assert reads > 1000
+    assert torn == 0, f"{torn}/{reads} torn reads"
+    t_w.close()
+    t_r.close()
+    qb.Topic.unlink(f"{ns}/big")
+
+
+def test_rate_executor_timing():
+    r = qb.Rate(0.005)
+    t0 = qb.now()
+    for _ in range(40):
+        r.sleep()
+    elapsed = qb.now() - t0
+    assert 0.18 < elapsed < 0.35, elapsed  # 40 x 5 ms with scheduler slop
+    assert r.ticks == 40
+
+
+def test_rate_overrun_detection():
+    r = qb.Rate(0.002)
+    r.sleep()
+    time.sleep(0.02)  # blow the deadline
+    overrun = r.sleep()
+    assert overrun > 0.01
+    assert r.overruns >= 1
+
+
+def test_traj_msg_roundtrip():
+    from ndp_nmpc_qd_tpu.traj.polyopt import fit_waypoints
+
+    wpts = np.stack([np.linspace(0, 1, 4), np.zeros(4), np.ones(4)], axis=-1)
+    traj = fit_waypoints(wpts, np.full(3, 2.0))
+    m = qb.traj_to_msg(traj, goal_id=7)
+    back = qb.msg_to_traj(m)
+    np.testing.assert_allclose(
+        np.asarray(back.coeff_xyz), np.asarray(traj.coeff_xyz), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.t_cum), np.asarray(traj.t_cum), atol=1e-12
+    )
+
+
+def test_live_mission_plant_and_controller(ns):
+    """Full runtime slice: plant daemon + controller daemon in threads,
+    cmd_pc client sends a trajectory, result reports a small RMSE."""
+    from ndp_nmpc_qd_tpu.runtime.nodes import (
+        ControllerDaemon,
+        PlantDaemon,
+        send_trajectory,
+    )
+    from ndp_nmpc_qd_tpu.traj.polyopt import fit_waypoints
+
+    plant = PlantDaemon(ns)
+    ctl = ControllerDaemon(ns)
+
+    plant_ready = threading.Event()
+    ctl_ready = threading.Event()
+    # ~14 s of plant time at 200 Hz; controller 50 Hz
+    t_plant = threading.Thread(
+        target=plant.run, kwargs=dict(max_ticks=2800, ready_event=plant_ready)
+    )
+    t_ctl = threading.Thread(
+        target=ctl.run, kwargs=dict(max_ticks=700, ready_event=ctl_ready)
+    )
+    t_plant.start()
+    plant_ready.wait(10)
+    t_ctl.start()
+    ctl_ready.wait(30)
+
+    wpts = np.stack(
+        [[0, 0.5, 1.0, 0.5, 0.0], [0, 0.5, 0, -0.5, 0], np.ones(5)], axis=-1
+    )
+    traj = fit_waypoints(wpts, np.full(4, 2.0))
+    res, feedback = send_trajectory(ns, traj, goal_id=3, timeout_s=30)
+
+    t_ctl.join(30)
+    t_plant.join(30)
+    assert int(res["status"]) == 1
+    assert float(res["pos_rmse"]) < 0.25, float(res["pos_rmse"])
+    assert len(feedback) > 3

@@ -1,0 +1,89 @@
+"""Recovery, metrics, and checkpoint utility tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ndp_nmpc_qd_tpu.solver.rti import RtiState
+from ndp_nmpc_qd_tpu.utils.checkpoint import restore_pytree, save_pytree
+from ndp_nmpc_qd_tpu.utils.metrics import HealthCounter, LatencyRecorder
+from ndp_nmpc_qd_tpu.utils.recovery import recover_rti, screen_nan
+
+
+def test_screen_nan():
+    ok = jnp.asarray([True, True, True])
+    tree = {"a": jnp.asarray([[1.0, 2.0], [jnp.nan, 1.0], [3.0, 4.0]])}
+    out = screen_nan(tree, ok)
+    np.testing.assert_array_equal(np.asarray(out), [True, False, True])
+
+
+def test_recover_rti_resets_only_bad():
+    B, N = 3, 4
+    st = RtiState(
+        x_bar=jnp.ones((B, N + 1, 10)), u_bar=jnp.ones((B, N, 4)) * 2
+    )
+    xr = jnp.zeros((B, N + 1, 10))
+    ur = jnp.zeros((B, N, 4))
+    ok = jnp.asarray([True, False, True])
+    out = recover_rti(st, ok, xr, ur)
+    assert float(out.x_bar[0].sum()) != 0  # kept
+    assert float(out.x_bar[1].sum()) == 0  # reset
+    assert float(out.u_bar[1].sum()) == 0
+    assert float(out.u_bar[2].sum()) != 0
+
+
+def test_recovered_solver_produces_healthy_solve():
+    """End to end: poison one scenario with NaN state, detect, recover,
+    verify the next solve is healthy again — the respawn analog."""
+    from ndp_nmpc_qd_tpu.models.quadrotor import hover_input, hover_state
+    from ndp_nmpc_qd_tpu.params import NdpNmpcConfig
+    from ndp_nmpc_qd_tpu.solver.rti import make_batched_rti_controller
+
+    cfg = NdpNmpcConfig()
+    ctl = make_batched_rti_controller(
+        cfg.ocp, cfg.vehicle, with_disturbance=False, backend="jax"
+    )
+    B, N = 3, cfg.ocp.N_node
+    xr = jnp.tile(hover_state(jnp.zeros((B, 3), jnp.float64))[:, None], (1, N + 1, 1))
+    ur = jnp.tile(hover_input(cfg.vehicle, (B,), jnp.float64)[:, None], (1, N, 1))
+    st = ctl.reset(xr, ur)
+    x0 = hover_state(jnp.zeros((B, 3), jnp.float64)).at[1, 0].set(jnp.nan)
+
+    u0, st, info = ctl.update(st, x0, xr, ur)
+    ok = screen_nan(st, info.ok)
+    assert list(np.asarray(ok)) == [True, False, True]
+
+    st = recover_rti(st, ok, xr, ur)
+    x0_fixed = hover_state(jnp.zeros((B, 3), jnp.float64))
+    u0, st, info = ctl.update(st, x0_fixed, xr, ur)
+    assert bool(jnp.all(info.ok))
+    assert bool(jnp.all(jnp.isfinite(u0)))
+
+
+def test_latency_recorder_and_health_counter():
+    rec = LatencyRecorder(budget_s=0.02)
+    for v in [0.001, 0.002, 0.05]:
+        rec.record(v)
+    s = rec.summary()
+    assert s["count"] == 3 and s["overruns"] == 1
+    assert s["p99_ms"] >= s["p50_ms"]
+
+    hc = HealthCounter()
+    hc.update(np.asarray([True, True, False]))
+    hc.update(np.asarray([True, True, True]))
+    s = hc.summary()
+    assert s["solves"] == 6 and s["unhealthy"] == 1 and s["worst_streak"] == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "b": (jnp.zeros(4), jnp.ones((2, 2))),
+    }
+    path = os.path.join(tmp_path, "ck")
+    save_pytree(path, tree)
+    out = restore_pytree(path, jax.tree.map(jnp.zeros_like, tree))
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
