@@ -62,7 +62,12 @@ def run_mission(args) -> dict:
     }[args.topology]
 
     cfg = NdpNmpcConfig(sim=SimParams(k_throttle_true=args.k_true))
-    traj = build_eight()
+    if args.scenario:
+        from .traj.scenarios import load_scenario
+
+        traj = load_scenario(args.scenario)
+    else:
+        traj = build_eight()
 
     kwargs = dict(topology)
     if kwargs.pop("use_ndp", False):
@@ -151,6 +156,10 @@ def main(argv=None):
     mission.add_argument("--nn", default=None, help="downwash net .npz")
     mission.add_argument("--cpu", action="store_true", help="force CPU backend")
     mission.add_argument("--f64", action="store_true")
+    mission.add_argument(
+        "--scenario", default=None,
+        help="trajectory yaml (configs/ name or path), e.g. eight_high_dyn",
+    )
 
     for name, hlp in [
         ("serve", "NMPC controller daemon over the qdio bus"),

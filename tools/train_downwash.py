@@ -50,12 +50,28 @@ def sample_dataset(n: int, seed: int = 0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sn", type=float, default=4.0)
+    ap.add_argument(
+        "--sn-sweep", nargs="*", type=float, default=None,
+        help="train one model per SN value (train_model_multiple_times.sh role)",
+    )
     ap.add_argument("--epochs", type=int, default=4000)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--n-train", type=int, default=16384)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    if args.sn_sweep is not None:
+        # the zsh sweep over SN in {0,2,4,8} (train_model_multiple_times.sh)
+        for sn in args.sn_sweep:
+            sub = argparse.Namespace(**vars(args))
+            sub.sn, sub.sn_sweep, sub.out = sn, None, None
+            print(f"=== SN = {sn} ===")
+            _train_one(sub)
+        return
+    _train_one(args)
+
+
+def _train_one(args):
     x_tr, y_tr = sample_dataset(args.n_train, seed=0)
     x_te, y_te = sample_dataset(4096, seed=1)
 
