@@ -58,43 +58,39 @@ def main():
         return ctl.update(rti, x0, xr, ur, f)
 
     rti = ctl.reset(xr, ur)
-
-    # chain CHAIN control steps on device per dispatch: measures true device
-    # throughput without paying the host<->device dispatch round-trip per
-    # step (in deployment consecutive ticks are queued the same way)
-    CHAIN = int(os.environ.get("BENCH_CHAIN", "10"))
-
-    @jax.jit
-    def chained(rti, x0, xr, ur, other):
-        def body(carry, _):
-            rti = carry
-            u0, rti, info = control_step(rti, x0, xr, ur, other)
-            return rti, (u0, info.ok)
-        rti, (u0s, oks) = jax.lax.scan(body, rti, None, length=CHAIN)
-        return rti, u0s[-1], oks[-1]
+    step = jax.jit(control_step)
 
     t0 = time.perf_counter()
-    rti, u0, ok = chained(rti, x0, xr, ur, other)
+    u0, rti, info = step(rti, x0, xr, ur, other)
     jax.block_until_ready(u0)
     compile_s = time.perf_counter() - t0
 
-    lat = []
-    iters = 15
+    # throughput: queue a pipeline of dependent steps, block once — measures
+    # device time without paying the host dispatch round-trip per step (in
+    # deployment consecutive control ticks are queued the same way)
+    iters = 30
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        rti, u0, ok = chained(rti, x0, xr, ur, other)
-        jax.block_until_ready(u0)
-        lat.append((time.perf_counter() - t0) / CHAIN)
-    lat.sort()
-    p50 = lat[len(lat) // 2]
-    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
-    mean = sum(lat) / len(lat)
+        u0, rti, info = step(rti, x0, xr, ur, other)
+    jax.block_until_ready(u0)
+    mean = (time.perf_counter() - t0) / iters
     solves_per_s = B / mean
-    n_ok = int(jnp.sum(ok))
+
+    # latency diagnostic: per-dispatch blocking (includes host round-trip)
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        u0, rti, info = step(rti, x0, xr, ur, other)
+        jax.block_until_ready(u0)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    n_ok = int(jnp.sum(info.ok))
 
     print(
-        f"device={jax.devices()[0]} B={B} chain={CHAIN} compile={compile_s:.1f}s "
-        f"per-step p50={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms ok={n_ok}/{B}",
+        f"device={jax.devices()[0]} B={B} compile={compile_s:.1f}s "
+        f"device-step {mean*1e3:.1f}ms "
+        f"blocking-dispatch p50={lat[len(lat)//2]*1e3:.1f}ms "
+        f"p90={lat[-1]*1e3:.1f}ms ok={n_ok}/{B}",
         file=sys.stderr,
     )
     print(

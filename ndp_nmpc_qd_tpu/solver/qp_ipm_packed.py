@@ -16,28 +16,14 @@ coupling; asserted cheaply upstream). Batch is padded to a multiple of 1024.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.riccati import BLOCK, pack, riccati_sweep_packed, unpack
 from .ocp import QpData
+from .ocp_packed import PackedQp
 from .qp_ipm import QpSolution
-
-
-class _PackedQp(NamedTuple):
-    hxx: jnp.ndarray  # (N+1, 100, nb, 8, 128)
-    huu: jnp.ndarray  # (N, 16, ...)
-    gx: jnp.ndarray  # (N+1, 10, ...)
-    gu: jnp.ndarray  # (N, 4, ...)
-    a: jnp.ndarray  # (N, 100, ...)
-    b: jnp.ndarray  # (N, 40, ...)
-    r: jnp.ndarray  # (N, 10, ...)
-    lu: jnp.ndarray  # (N, 4, ...)
-    uu: jnp.ndarray  # (N, 4, ...)
-    lx: jnp.ndarray  # (N+1, 3, ...)
-    ux: jnp.ndarray  # (N+1, 3, ...)
 
 
 def _pad_to_block(x: jnp.ndarray) -> jnp.ndarray:
@@ -48,10 +34,10 @@ def _pad_to_block(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x, jnp.tile(x[:1], (pad,) + (1,) * (x.ndim - 1))])
 
 
-def pack_qp(qp: QpData) -> _PackedQp:
+def pack_qp(qp: QpData) -> PackedQp:
     """Batch-first QpData -> packed layout (pads batch to BLOCK)."""
     f = lambda x: pack(_pad_to_block(x))
-    return _PackedQp(
+    return PackedQp(
         hxx=f(qp.Hxx), huu=f(qp.Huu), gx=f(qp.gx), gu=f(qp.gu),
         a=f(qp.A), b=f(qp.B), r=f(qp.r),
         lu=f(qp.lu), uu=f(qp.uu), lx=f(qp.lx), ux=f(qp.ux),
@@ -87,10 +73,39 @@ def solve_qp_packed(
     Returns QpSolution with batch-first (B, ...) arrays, mu/eq_res (B,).
     """
     B = dx0.shape[0]
-    N, nu = qp.gu.shape[1:]
     nx = qp.gx.shape[2]
+    nu = qp.gu.shape[2]
     p = pack_qp(qp)
     dx0_p = pack(_pad_to_block(dx0)[:, None, :])  # (1, nx, nb,8,128)
+    zx, zu, mu, eq_res = ipm_packed(
+        p, dx0_p, num_iters=num_iters, sigma=sigma, tau=tau,
+        mu_init=mu_init, s_min=s_min, mu_min=mu_min, interpret=interpret,
+    )
+    dx_out = unpack(zx, (nx,))[:B]
+    du_out = unpack(zu, (nu,))[:B]
+    return QpSolution(dx_out, du_out, mu.reshape(-1)[:B], eq_res.reshape(-1)[:B])
+
+
+def ipm_packed(
+    p: PackedQp,
+    dx0_p: jnp.ndarray,
+    *,
+    num_iters: int = 18,
+    sigma: float = 0.1,
+    tau: float = 0.95,
+    mu_init: float = 1.0,
+    s_min: float = 1e-3,
+    mu_min: float = 1e-12,
+    interpret: bool = False,
+):
+    """The interior-point loop entirely in packed layout.
+
+    Returns (zx (N+1,nx,nb,8,128), zu (N,nu,...), mu (nb,8,128),
+    eq_res (nb,8,128)).
+    """
+    Np1, nx = p.gx.shape[:2]
+    N = Np1 - 1
+    nu = p.gu.shape[1]
     dt = p.gx.dtype
     nb = p.gx.shape[2]
     tail = (nb, 8, 128)
@@ -219,9 +234,4 @@ def solve_qp_packed(
     eq_res = jnp.sqrt(
         jnp.sum(eq * eq, axis=(0, 1)) + jnp.sum((dx0_p - zx[:1]) ** 2, axis=(0, 1))
     )
-
-    dx_out = unpack(zx, (nx,))[:B]
-    du_out = unpack(zu, (nu,))[:B]
-    mu_out = mu.reshape(-1)[:B]
-    eq_out = eq_res.reshape(-1)[:B]
-    return QpSolution(dx_out, du_out, mu_out, eq_out)
+    return zx, zu, mu, eq_res

@@ -129,8 +129,6 @@ def make_batched_rti_controller(
     """
     import jax
 
-    from .qp_ipm_packed import solve_qp_packed
-
     if backend == "auto":
         # Pallas kernels lower for TPU only (incl. the axon tunnel backend);
         # CPU runs the scan path (or interpret mode when requested).
@@ -140,7 +138,6 @@ def make_batched_rti_controller(
             else "jax"
         )
 
-    linearize_horizon, _phi = make_ocp_functions(ocp, vehicle, with_disturbance)
     per_scenario = make_rti_controller(
         ocp, vehicle, with_disturbance=with_disturbance, qp_iters=qp_iters,
         eq_tol=eq_tol,
@@ -162,15 +159,37 @@ def make_batched_rti_controller(
 
         return RtiController(reset, update, ocp, vehicle, with_disturbance)
 
+    from ..ops.pallas.riccati import BLOCK, unpack
+    from .ocp_packed import make_ocp_functions_packed
+    from .qp_ipm_packed import ipm_packed
+
+    linearize_packed, _ = make_ocp_functions_packed(ocp, vehicle, with_disturbance)
+
     def update(state, x0, xr, ur, f_dist=None):
         if not with_disturbance:
             f_dist = None
-        qp = jax.vmap(linearize_horizon)(
-            state.x_bar, state.u_bar, xr, ur, f_dist
+        B = x0.shape[0]
+        pad = (-B) % BLOCK
+
+        def padb(a):
+            if pad == 0 or a is None:
+                return a
+            return jnp.concatenate(
+                [a, jnp.tile(a[:1], (pad,) + (1,) * (a.ndim - 1))]
+            )
+
+        qp, dx0_p = linearize_packed(
+            padb(state.x_bar), padb(state.u_bar), padb(xr), padb(ur),
+            padb(f_dist), padb(x0),
         )
-        dx0 = x0.astype(state.x_bar.dtype) - state.x_bar[:, 0]
-        sol = solve_qp_packed(qp, dx0, num_iters=qp_iters, interpret=interpret)
-        new_state = RtiState(state.x_bar + sol.dx, state.u_bar + sol.du)
+        zx, zu, mu_p, eq_p = ipm_packed(
+            qp, dx0_p, num_iters=qp_iters, interpret=interpret
+        )
+        dx = unpack(zx, (state.x_bar.shape[-1],))[:B]
+        du = unpack(zu, (state.u_bar.shape[-1],))[:B]
+        sol_mu = mu_p.reshape(-1)[:B]
+        sol_eq = eq_p.reshape(-1)[:B]
+        new_state = RtiState(state.x_bar + dx, state.u_bar + du)
         u0 = new_state.u_bar[:, 0]
         u_lo = jnp.asarray(ocp.u_lower(), u0.dtype)
         u_hi = jnp.asarray(ocp.u_upper(), u0.dtype)
@@ -188,9 +207,9 @@ def make_batched_rti_controller(
             (v_plan >= v_lo - v_tol) & (v_plan <= v_hi + v_tol), axis=(1, 2)
         )
         info = RtiInfo(
-            mu=sol.mu,
-            eq_res=sol.eq_res,
-            ok=jnp.isfinite(sol.eq_res) & (sol.eq_res < eq_tol) & in_box,
+            mu=sol_mu,
+            eq_res=sol_eq,
+            ok=jnp.isfinite(sol_eq) & (sol_eq < eq_tol) & in_box,
         )
         return u0, new_state, info
 
