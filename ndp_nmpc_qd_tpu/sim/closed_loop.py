@@ -86,7 +86,7 @@ def make_episode(
     downwash_params: MlpParams | None = None,
     formation_fn: Callable | None = None,
     true_downwash: bool = False,
-    qp_iters: int = 18,
+    qp_iters: int = 12,
     record_traces: bool = False,
     hold_ticks: int = 0,
     independent: bool = False,

@@ -152,7 +152,7 @@ def solve_qp(
     qp: QpData,
     dx0: jnp.ndarray,
     *,
-    num_iters: int = 18,
+    num_iters: int = 12,
     sigma: float = 0.1,
     tau: float = 0.95,
     mu_init: float = 1.0,

@@ -60,7 +60,7 @@ def solve_qp_packed(
     qp: QpData,
     dx0: jnp.ndarray,
     *,
-    num_iters: int = 18,
+    num_iters: int = 12,
     sigma: float = 0.1,
     tau: float = 0.95,
     mu_init: float = 1.0,
@@ -90,7 +90,7 @@ def ipm_packed(
     p: PackedQp,
     dx0_p: jnp.ndarray,
     *,
-    num_iters: int = 18,
+    num_iters: int = 12,
     sigma: float = 0.1,
     tau: float = 0.95,
     mu_init: float = 1.0,

@@ -63,7 +63,7 @@ def make_rti_controller(
     vehicle: VehicleParams,
     *,
     with_disturbance: bool = False,
-    qp_iters: int = 18,
+    qp_iters: int = 12,
     eq_tol: float = 1e-3,
 ) -> RtiController:
     linearize_horizon, _phi = make_ocp_functions(ocp, vehicle, with_disturbance)
@@ -113,7 +113,7 @@ def make_batched_rti_controller(
     vehicle: VehicleParams,
     *,
     with_disturbance: bool = False,
-    qp_iters: int = 18,
+    qp_iters: int = 12,
     eq_tol: float = 1e-3,
     backend: str = "auto",
     interpret: bool = False,

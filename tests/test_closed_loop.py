@@ -125,6 +125,21 @@ def test_three_drone_ndp_beats_plain_under_downwash():
     assert results[True] < 0.5 * results[False], results
 
 
+def test_four_qd_independent(cfg):
+    """four_qd topology: independent drones tracking offset trajectory
+    copies — every drone is a leader, no exchange."""
+    traj = eight_traj()
+    init_fn, _, run_fn = make_episode(
+        cfg, traj, n_drones=4, independent=True, hold_ticks=150
+    )
+    st = init_fn(dtype=jnp.float64)
+    st, m, _ = jax.jit(lambda s: run_fn(s, 500))(st)
+    assert bool(jnp.all(m.ok))
+    # all four track equally well (same dynamics, just offset)
+    assert float(jnp.max(m.pos_rmse)) < 0.08, np.asarray(m.pos_rmse)
+    assert float(jnp.std(m.pos_rmse)) < 0.01
+
+
 def test_episode_is_deterministic(cfg):
     traj = eight_traj()
     init_fn, _, run_fn = make_episode(cfg, traj, n_drones=2)
