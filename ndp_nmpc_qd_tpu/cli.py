@@ -95,14 +95,25 @@ def run_mission(args) -> dict:
     jax.block_until_ready(metrics)
     run_time = time.perf_counter() - t0
 
+    def summarize(a):
+        a = np.asarray(a)
+        if a.size <= 8:
+            return a.round(5).tolist()
+        return {
+            "min": round(float(a.min()), 5),
+            "mean": round(float(a.mean()), 5),
+            "max": round(float(a.max()), 5),
+        }
+
+    ok = np.asarray(metrics.ok)
     result = {
         "topology": args.topology,
         "n_drones": int(topology.get("n_drones", 1)),
         "ticks": n_ticks,
-        "pos_rmse": np.asarray(metrics.pos_rmse).round(5).tolist(),
-        "yaw_rmse_deg": np.asarray(metrics.yaw_rmse_deg).round(4).tolist(),
-        "form_rmse": np.asarray(metrics.form_rmse).round(5).tolist(),
-        "ok": np.asarray(metrics.ok).tolist(),
+        "pos_rmse": summarize(metrics.pos_rmse),
+        "yaw_rmse_deg": summarize(metrics.yaw_rmse_deg),
+        "form_rmse": summarize(metrics.form_rmse),
+        "ok": ok.tolist() if ok.size <= 8 else [bool(ok.all())],
         "wall_s_first": round(compile_and_run, 3),
         "wall_s_cached": round(run_time, 3),
         "solves_per_s": round(n_ticks * topology.get("n_drones", 1) / run_time, 1),
