@@ -132,7 +132,10 @@ def run_node(args) -> dict:
     from .runtime.nodes import ControllerDaemon, PlantDaemon, send_trajectory
 
     if args.node == "serve":
-        daemon = ControllerDaemon(args.ns, leader_ns=args.leader_ns)
+        daemon = ControllerDaemon(
+            args.ns, leader_ns=args.leader_ns,
+            use_ndp=bool(args.companion_ns), companion_ns=args.companion_ns,
+        )
         return daemon.run(max_ticks=args.max_ticks)
     if args.node == "simnode":
         daemon = PlantDaemon(args.ns)
@@ -180,6 +183,10 @@ def main(argv=None):
         p = sub.add_parser(name, help=hlp)
         p.add_argument("--ns", default="fhnp")
         p.add_argument("--leader-ns", default=None)
+        p.add_argument(
+            "--companion-ns", default=None,
+            help="NDP: forecast downwash from this namespace's horizon",
+        )
         p.add_argument("--max-ticks", type=int, default=0, help="0 = forever")
         p.add_argument("--scale", type=float, default=1.0)
         p.add_argument("--cpu", action="store_true")

@@ -71,8 +71,14 @@ class ControllerDaemon:
         *,
         leader_ns: str | None = None,
         use_ndp: bool = False,
+        companion_ns: str | None = None,
         downwash_params=None,
     ):
+        """`leader_ns` makes this a follower of that namespace's horizon.
+        `use_ndp` + `companion_ns` makes this an NDP leader forecasting the
+        downwash force from `companion_ns`'s published horizon (the
+        `NDPLeaderNode.sub_xf_pred_callback` role,
+        `ndp_nmpc_leader_node.py:60-76`)."""
         import jax
         import jax.numpy as jnp
 
@@ -113,16 +119,29 @@ class ControllerDaemon:
         self._throttle = throttle_from_collective
         self._alpha = rate_converted_alpha(0.8, 0.05, ocp.ts_nmpc)
 
+        self.companion_ref = (
+            qb.Topic(f"{companion_ns}/ref_x_u", qb.PRED_XU)
+            if (use_ndp and companion_ns)
+            else None
+        )
         if use_ndp:
-            from ..models.downwash_mlp import predict_downwash
+            from ..models.downwash_mlp import load_npz, predict_downwash
 
+            if downwash_params is None:
+                import os as _os
+
+                downwash_params = load_npz(
+                    _os.path.join(
+                        _os.path.dirname(__file__), "..", "..", "assets",
+                        "downwash_analytic_sn4.npz",
+                    )
+                )
             self._predict = jax.jit(
-                lambda p, other, ego, gate: predict_downwash(
-                    p, other, ego, r_horiz=self.cfg.downwash.r_horiz,
-                    ego_gate_pos=gate,
+                lambda other, ego, gate: predict_downwash(
+                    downwash_params, other, ego,
+                    r_horiz=self.cfg.downwash.r_horiz, ego_gate_pos=gate,
                 )
             )
-            self._dw_params = downwash_params
 
     def run(self, max_ticks: int = 0, ready_event=None):
         import jax.numpy as jnp
@@ -219,10 +238,15 @@ class ControllerDaemon:
                     )
                     ur = jnp.asarray(lmsg["u"])
 
-            # --- NDP disturbance forecast from the leader's companion ---
-            if self.use_ndp and self.leader_ref is not None:
-                pass  # follower doesn't forecast
-            # (leader-side NDP uses another drone's ref; see mission scripts)
+            # --- NDP disturbance forecast from the companion's horizon ---
+            if self.companion_ref is not None:
+                cseq, cmsg = self.companion_ref.read_latest()
+                if cseq > 0:
+                    f_dist = self._predict(
+                        jnp.asarray(cmsg["x"]), xr, jnp.asarray(x_now[0:3])
+                    )
+                else:
+                    f_dist = jnp.zeros((N + 1, 3))
 
             # --- solve + publish ---
             u0, state, info = self._update(

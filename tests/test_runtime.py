@@ -129,6 +129,36 @@ def test_traj_msg_roundtrip():
     )
 
 
+def test_ndp_leader_over_bus(ns):
+    """NDP leader daemon consumes a companion's published horizon and keeps
+    flying (the NDPLeaderNode role over the shm bus)."""
+    from ndp_nmpc_qd_tpu.runtime.nodes import ControllerDaemon, PlantDaemon
+
+    comp_ns = ns + "_comp"
+    comp_ref = qb.Topic(f"{comp_ns}/ref_x_u", qb.PRED_XU)
+    m = np.zeros((), qb.PRED_XU)
+    m["x"][:, 2] = 1.9  # hovering 0.9 m above the plant's start (z = 1)
+    m["x"][:, 6] = 1.0
+    comp_ref.publish(m)
+
+    plant = PlantDaemon(ns)
+    ctl = ControllerDaemon(ns, use_ndp=True, companion_ns=comp_ns)
+    pr, cr = threading.Event(), threading.Event()
+    tp = threading.Thread(target=plant.run, kwargs=dict(max_ticks=1200, ready_event=pr))
+    tc = threading.Thread(target=ctl.run, kwargs=dict(max_ticks=250, ready_event=cr))
+    tp.start()
+    pr.wait(10)
+    tc.start()
+    cr.wait(30)
+    tc.join(60)
+    tp.join(60)
+
+    # drone held position under the forecast-compensated controller
+    _, odom = plant.t.odom.read_latest()
+    assert abs(odom["pos"][2] - 1.0) < 0.3, odom["pos"]
+    qb.Topic.unlink(f"{comp_ns}/ref_x_u")
+
+
 def test_live_mission_plant_and_controller(ns):
     """Full runtime slice: plant daemon + controller daemon in threads,
     cmd_pc client sends a trajectory, result reports a small RMSE."""
