@@ -61,6 +61,12 @@ def run_mission(args) -> dict:
         "swarm": dict(n_drones=args.drones, independent=True),
     }[args.topology]
 
+    # enable x64 BEFORE any arrays are built: flipping it later is
+    # unsupported and would leave the trajectory/NN data in float32
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
     cfg = NdpNmpcConfig(sim=SimParams(k_throttle_true=args.k_true))
     if args.scenario:
         from .traj.scenarios import load_scenario
@@ -73,11 +79,8 @@ def run_mission(args) -> dict:
     if kwargs.pop("use_ndp", False):
         kwargs["use_ndp"] = True
         kwargs["downwash_params"] = load_npz(
-            args.nn or default_asset("downwash_analytic_sn4.npz")
+            args.nn or default_asset("downwash_analytic_sn4.npz"), dtype=dtype
         )
-    dtype = jnp.float64 if args.f64 else jnp.float32
-    if args.f64:
-        jax.config.update("jax_enable_x64", True)
 
     init_fn, _, run_fn = make_episode(
         cfg, traj, hold_ticks=args.hold_ticks, **kwargs

@@ -99,15 +99,22 @@ def _lib_path() -> str:
 
 
 def build_library(force: bool = False) -> str:
-    """Compile qdio.cpp -> libqdio.so (cached)."""
+    """Compile qdio.cpp -> libqdio.so (cached).
+
+    Concurrent daemons may race to build on first use: compile to a
+    pid-unique temp file and atomically rename so no process ever dlopens a
+    partially written library.
+    """
     so = _lib_path()
     src = os.path.join(os.path.dirname(__file__), "qdio.cpp")
     if force or not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        tmp = f"{so}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", "-o", so, src,
+            ["g++", "-std=c++17", "-O2", "-shared", "-fPIC", "-o", tmp, src,
              "-lrt", "-pthread"],
             check=True,
         )
+        os.replace(tmp, so)
     return so
 
 

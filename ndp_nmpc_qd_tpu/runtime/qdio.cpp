@@ -116,17 +116,22 @@ void qdio_topic_close(void* handle) {
 void qdio_topic_unlink(const char* name) { shm_unlink(name); }
 
 // Publish one message (single writer per topic).
+//
+// Seqlock write protocol (Boehm-style): the odd marker must become visible
+// BEFORE any payload store (store-store ordering), which needs a full
+// barrier after it — a release store/fence only orders EARLIER writes.
+// The closing even store after a release fence orders the payload before it.
 void qdio_publish(void* handle, const void* data) {
   auto* t = static_cast<Topic*>(handle);
   uint64_t idx = t->hdr->head.load(std::memory_order_relaxed);
   SlotHeader* s = slot_at(t, idx);
   uint64_t seq0 = s->seq.load(std::memory_order_relaxed);
-  s->seq.store(seq0 + 1, std::memory_order_release);  // odd: writing
-  std::atomic_thread_fence(std::memory_order_acquire);
+  s->seq.store(seq0 + 1, std::memory_order_relaxed);  // odd: writing
+  std::atomic_thread_fence(std::memory_order_seq_cst);
   std::memcpy(reinterpret_cast<uint8_t*>(s) + sizeof(SlotHeader), data,
               t->hdr->msg_size);
   std::atomic_thread_fence(std::memory_order_release);
-  s->seq.store(seq0 + 2, std::memory_order_release);  // even: done
+  s->seq.store(seq0 + 2, std::memory_order_relaxed);  // even: done
   t->hdr->head.store(idx + 1, std::memory_order_release);
 }
 

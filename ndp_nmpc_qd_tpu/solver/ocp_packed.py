@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.quadrotor import NU, NX, body_rate_dynamics
+from ..ops import quat
 from ..ops.integrators import make_discrete_dynamics
 from ..ops.pallas.riccati import BLOCK
 from ..params import OcpParams, VehicleParams
@@ -112,16 +113,8 @@ def make_ocp_functions_packed(
         Hxx = stage_scale * Hxx
         Huu = stage_scale * jnp.diag(r_diag)
 
-        # residual e = y - yref; qe from the bilinear form
-        qw, qx, qy, qz = xb[6], xb[7], xb[8], xb[9]
-        qwr, qxr, qyr, qzr = q_ref[0], q_ref[1], q_ref[2], q_ref[3]
-        qe = jnp.stack(
-            [
-                qwr * qx - qw * qxr + qyr * qz - qy * qzr,
-                qwr * qy - qw * qyr - qxr * qz + qx * qzr,
-                qxr * qy - qx * qyr + qwr * qz - qw * qzr,
-            ]
-        )
+        # residual e = y - yref; qe is the shared bilinear error form
+        qe = quat.error_vector(xb[6:10], q_ref)
         e_posvel = xb[0:6] - xr_i[0:6]
         gx = jnp.zeros((NX,), dtype)
         gx = gx.at[0:6].set(stage_scale * q_diag[:6] * e_posvel)
@@ -144,15 +137,7 @@ def make_ocp_functions_packed(
         Hxx = jnp.zeros((NX, NX), dtype)
         Hxx = Hxx.at[jnp.arange(6), jnp.arange(6)].set(q_diag[:6])
         Hxx = Hxx.at[6:10, 6:10].set(Hq)
-        qw, qx, qy, qz = xb[6], xb[7], xb[8], xb[9]
-        qwr, qxr, qyr, qzr = q_ref[0], q_ref[1], q_ref[2], q_ref[3]
-        qe = jnp.stack(
-            [
-                qwr * qx - qw * qxr + qyr * qz - qy * qzr,
-                qwr * qy - qw * qyr - qxr * qz + qx * qzr,
-                qxr * qy - qx * qyr + qwr * qz - qw * qzr,
-            ]
-        )
+        qe = quat.error_vector(xb[6:10], q_ref)
         gx = jnp.zeros((NX,), dtype)
         gx = gx.at[0:6].set(q_diag[:6] * (xb[0:6] - xr_i[0:6]))
         gx = gx.at[6:10].set(Gq.T @ (wq * qe))

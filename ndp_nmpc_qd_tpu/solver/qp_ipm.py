@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .ocp import QpData
+from .ocp import BX_IDX, QpData
 
 
 class QpSolution(NamedTuple):
@@ -75,10 +75,9 @@ def _riccati_solve_impl(
     N = qp.A.shape[0]
     nx = qp.A.shape[1]
 
-    bx_idx = jnp.array([3, 4, 5])
-    # scatter barrier diagonals
+    # scatter barrier diagonals onto the box-bounded state components
     Hxx = qp.Hxx.at[
-        jnp.arange(N + 1)[:, None], bx_idx[None, :], bx_idx[None, :]
+        jnp.arange(N + 1)[:, None], BX_IDX[None, :], BX_IDX[None, :]
     ].add(sig_x_b)
     Huu = qp.Huu + jax.vmap(jnp.diag)(sig_u)
 
@@ -134,6 +133,47 @@ def _riccati_solve_impl(
     return delta_x, dus
 
 
+# ---- elementwise IPM building blocks, shared by the scan path below and
+# ---- the packed Pallas path (qp_ipm_packed.ipm_packed); layout-agnostic.
+
+
+def ipm_slack_init(lo, hi, v, s_min):
+    """Slack init: the distance to the bound where feasible, its MAGNITUDE
+    where violated (so the barrier stays soft and Newton can walk the primal
+    back into the box), floored at a range-scaled minimum."""
+    floor = jnp.minimum(s_min * jnp.minimum(hi - lo, 1e3), 0.5 * (hi - lo))
+    return (
+        jnp.maximum(jnp.abs(v - lo), floor),
+        jnp.maximum(jnp.abs(hi - v), floor),
+    )
+
+
+def ipm_corr_terms(v, lo, hi, s_lo, s_up, l_lo, l_up, mu):
+    """Newton elimination of a two-sided bound's slacks/duals: returns the
+    diagonal Hessian addition, the gradient correction, and the residuals
+    needed for the direction recovery."""
+    r_lo = v - lo - s_lo
+    r_up = hi - v - s_up
+    rc_lo = s_lo * l_lo - mu
+    rc_up = s_up * l_up - mu
+    sig = l_lo / s_lo + l_up / s_up
+    corr = (
+        -l_lo + l_up
+        + (rc_lo + l_lo * r_lo) / s_lo
+        - (rc_up + l_up * r_up) / s_up
+    )
+    return sig, corr, r_lo, r_up, rc_lo, rc_up
+
+
+def ipm_max_step(v, dv, tau, axes=None):
+    """Largest a in (0, 1] with v + a*dv >= (1 - tau) v, reduced over `axes`
+    (None = all: per-problem scalar, as used under vmap)."""
+    ratio = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    if axes is None:
+        return jnp.minimum(1.0, jnp.min(ratio))
+    return jnp.minimum(1.0, jnp.min(ratio, axis=axes))
+
+
 class _IpmState(NamedTuple):
     zx: jnp.ndarray  # (N+1, nx) primal state deltas
     zu: jnp.ndarray  # (N, nu) primal control deltas
@@ -168,18 +208,9 @@ def solve_qp(
     nxp1, n_bx = qp.lx.shape
     dtype = qp.gx.dtype
     dx0 = dx0.astype(dtype)
-    bx_idx = jnp.array([3, 4, 5])
 
     def interior(lo, hi, v):
-        """Slack init: the distance to the bound where feasible, its
-        MAGNITUDE where violated (so the barrier stays soft and Newton can
-        walk the primal back into the box), floored at a range-scaled
-        minimum."""
-        floor = jnp.minimum(s_min * jnp.minimum(hi - lo, 1e3), 0.5 * (hi - lo))
-        return (
-            jnp.maximum(jnp.abs(v - lo), floor),
-            jnp.maximum(jnp.abs(hi - v), floor),
-        )
+        return ipm_slack_init(lo, hi, v, s_min)
 
     # Primal warm start: clipped-LQR — one zero-barrier Riccati backward pass,
     # then a forward rollout whose controls are clipped into the box (with a
@@ -209,20 +240,7 @@ def solve_qp(
     )
 
     n_cons = 2 * N * nu + 2 * nxp1 * n_bx
-
-    def corr_terms(v, lo, hi, s_lo, s_up, l_lo, l_up, mu):
-        """Sigma diag + gradient correction for a two-sided bound."""
-        r_lo = v - lo - s_lo
-        r_up = hi - v - s_up
-        rc_lo = s_lo * l_lo - mu
-        rc_up = s_up * l_up - mu
-        sig = l_lo / s_lo + l_up / s_up
-        corr = (
-            -l_lo + l_up
-            + (rc_lo + l_lo * r_lo) / s_lo
-            - (rc_up + l_up * r_up) / s_up
-        )
-        return sig, corr, r_lo, r_up, rc_lo, rc_up
+    corr_terms = ipm_corr_terms
 
     def step(st: _IpmState, _):
         vx = st.zx[:, 3:6]
@@ -273,9 +291,7 @@ def solve_qp(
         dlx_up = -(rcx_up + st.lx_up * dsx_up) / st.sx_up
 
         def max_step(v, dv):
-            # largest a in (0, 1] with v + a dv >= (1 - tau) v
-            ratio = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-            return jnp.minimum(1.0, jnp.min(ratio))
+            return ipm_max_step(v, dv, tau)
 
         a_p = jnp.minimum(
             jnp.minimum(max_step(st.su_lo, dsu_lo), max_step(st.su_up, dsu_up)),

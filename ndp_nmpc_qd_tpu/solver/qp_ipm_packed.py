@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ops.pallas.riccati import BLOCK, pack, riccati_sweep_packed, unpack
 from .ocp import QpData
 from .ocp_packed import PackedQp
-from .qp_ipm import QpSolution
+from .qp_ipm import QpSolution, ipm_corr_terms, ipm_max_step, ipm_slack_init
 
 
 def _pad_to_block(x: jnp.ndarray) -> jnp.ndarray:
@@ -123,11 +123,7 @@ def ipm_packed(
     )
 
     def interior(lo, hi, v):
-        floor = jnp.minimum(s_min * jnp.minimum(hi - lo, 1e3), 0.5 * (hi - lo))
-        return (
-            jnp.maximum(jnp.abs(v - lo), floor),
-            jnp.maximum(jnp.abs(hi - v), floor),
-        )
+        return ipm_slack_init(lo, hi, v, s_min)
 
     vx0 = zx[:, 3:6]
     su_lo, su_up = interior(p.lu, p.uu, zu)
@@ -135,19 +131,7 @@ def ipm_packed(
     mu0 = jnp.asarray(mu_init, dt)
     lam = (mu0 / su_lo, mu0 / su_up, mu0 / sx_lo, mu0 / sx_up)
     n_cons = 2 * N * nu + 2 * (N + 1) * 3
-
-    def corr_terms(v, lo, hi, s_lo, s_up, l_lo, l_up, mu):
-        r_lo = v - lo - s_lo
-        r_up = hi - v - s_up
-        rc_lo = s_lo * l_lo - mu
-        rc_up = s_up * l_up - mu
-        sig = l_lo / s_lo + l_up / s_up
-        corr = (
-            -l_lo + l_up
-            + (rc_lo + l_lo * r_lo) / s_lo
-            - (rc_up + l_up * r_up) / s_up
-        )
-        return sig, corr, r_lo, r_up, rc_lo, rc_up
+    corr_terms = ipm_corr_terms
 
     def step(carry, _):
         zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu = carry
@@ -191,8 +175,7 @@ def ipm_packed(
         dlx_up = -(rcx_up + lx_up * dsx_up) / sx_up
 
         def max_step(v, dv):
-            ratio = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-            return jnp.minimum(1.0, jnp.min(ratio, axis=(0, 1)))
+            return ipm_max_step(v, dv, tau, axes=(0, 1))
 
         a_p = jnp.minimum(
             jnp.minimum(max_step(su_lo, dsu_lo), max_step(su_up, dsu_up)),

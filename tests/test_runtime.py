@@ -153,9 +153,12 @@ def test_ndp_leader_over_bus(ns):
     tc.join(60)
     tp.join(60)
 
-    # drone held position under the forecast-compensated controller
+    # The plant applies NO real coupling, so an ACTIVE forecast makes the
+    # controller compensate a phantom downward force — the drone must settle
+    # visibly ABOVE the 1.0 m setpoint. That offset is the proof the
+    # companion's horizon was consumed and fed through the dynamics.
     _, odom = plant.t.odom.read_latest()
-    assert abs(odom["pos"][2] - 1.0) < 0.3, odom["pos"]
+    assert 0.1 < odom["pos"][2] - 1.0 < 0.8, odom["pos"]
     qb.Topic.unlink(f"{comp_ns}/ref_x_u")
 
 

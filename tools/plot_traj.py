@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # the episode below runs in f64
 
 import jax.numpy as jnp
 import matplotlib
