@@ -38,6 +38,7 @@ class NodeTopics:
         self.odom = qb.Topic(f"{self.ns}/odom", qb.ODOMETRY)
         self.att = qb.Topic(f"{self.ns}/attitude_target", qb.ATTITUDE_TARGET)
         self.ref_x_u = qb.Topic(f"{self.ns}/ref_x_u", qb.PRED_XU)
+        self.viz_pred = qb.Topic(f"{self.ns}/viz_pred", qb.PRED_XU)
         self.goal = qb.Topic(f"{self.ns}/traj_goal", qb.TRAJ_COEFF)
         self.feedback = qb.Topic(f"{self.ns}/traj_feedback", qb.TRACK_FEEDBACK)
         self.result = qb.Topic(f"{self.ns}/traj_result", qb.TRACK_RESULT)
@@ -46,7 +47,7 @@ class NodeTopics:
     @staticmethod
     def unlink(ns: str):
         for t in (
-            "odom", "attitude_target", "ref_x_u", "traj_goal",
+            "odom", "attitude_target", "ref_x_u", "viz_pred", "traj_goal",
             "traj_feedback", "traj_result", "formation_ref",
         ):
             qb.Topic.unlink(f"{ns}/{t}")
@@ -270,6 +271,21 @@ class ControllerDaemon:
             pred["x"] = np.asarray(xr)
             pred["u"] = np.asarray(ur)
             self.t.ref_x_u.publish(pred)
+
+            # predicted-horizon viz at ~20 Hz: the solver's internal iterates
+            # with normalized quaternions (viz_nmpc_pred_callback,
+            # nmpc_node.py:233-249)
+            if tick % 3 == 0:
+                viz = np.zeros((), qb.PRED_XU)
+                viz["t"] = qb.now()
+                xb = np.asarray(state.x_bar)
+                qn = np.linalg.norm(xb[:, 6:10], axis=-1, keepdims=True)
+                xb = np.concatenate(
+                    [xb[:, 0:6], xb[:, 6:10] / np.maximum(qn, 1e-9)], axis=-1
+                )
+                viz["x"] = xb
+                viz["u"] = np.asarray(state.u_bar)
+                self.t.viz_pred.publish(viz)
 
             # --- estimator tick (gated like the reference timer) ---
             if est_active:
