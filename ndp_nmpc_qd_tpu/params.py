@@ -30,6 +30,7 @@ class VehicleParams:
     mass: float = 1.4844  # kg (fhnp_params.py:9)
     gravity: float = GRAVITY
     l_frame: float = 0.1372  # m (fhnp_params.py:10)
+    alpha_frame: float = 45.0 * np.pi / 180.0  # rad (fhnp_params.py:11)
     Jx: float = 0.0094  # kg m^2 (fhnp_params.py:13)
     Jy: float = 0.0134
     Jz: float = 0.0145
