@@ -23,7 +23,7 @@ from ndp_nmpc_qd_tpu.traj.refgen import nmpc_refs
 from ndp_nmpc_qd_tpu.traj.polyopt import fit_waypoints
 
 CFG = NdpNmpcConfig()
-VEH = CFG.veh if hasattr(CFG, "veh") else CFG.vehicle
+VEH = CFG.vehicle
 OCP = CFG.ocp
 
 
