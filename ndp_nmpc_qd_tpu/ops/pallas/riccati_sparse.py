@@ -1,0 +1,420 @@
+"""Fused structure-sparse Riccati sweep kernels (batch-on-lanes layout).
+
+Second-generation kernels over `riccati.py`, exploiting two facts measured on
+the v5e: the IPM is HBM-bandwidth-bound (each iteration re-reads every stage
+matrix), and most stage-matrix elements are compile-time constants for this
+OCP (see `solver/ocp_sparse.py`):
+
+- A is block-triangular [[I, h*I, Apq], [0, I, Avq], [0, 0, Aqq]]: 40 varying
+  elements instead of 100, and the Riccati products P@A / A^T(PA) collapse to
+  copies + h-shifted adds + one 10x4 contraction.
+- B has a zero quaternion<-collective column: 36 elements instead of 40.
+- Hxx = const diag(6) (+) Hq (16 elements instead of 100); Huu is a constant
+  diagonal baked into the kernel (0 bytes).
+- The IPM's gradient/defect assembly (ghat = g + H z + corr, rhat = A z +
+  B zu + r - z') is fused INTO the backward kernel: the separate lane-matvec
+  pass of `qp_ipm_packed` — which re-read hxx/a/b from HBM every iteration —
+  disappears, and the backward emits rhat for the forward kernel.
+
+Same math as `qp_ipm.riccati_solve` (checked element-level in
+`tests/test_sparse_path.py`); constants are baked in as compile-time floats
+so every FMA still runs on full (8, 128) tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .riccati import BLOCK, LANE, SUB, _chol4, _chol4_solve, _vec
+
+NX = 10
+NU = 4
+
+
+def _load_blocks(a_ref, b_ref):
+    """Unpack the sparse A/B payloads into lists of (8,128) tiles."""
+    apq = [[a_ref[0, i * 4 + j, 0] for j in range(4)] for i in range(3)]
+    avq = [[a_ref[0, 12 + i * 4 + j, 0] for j in range(4)] for i in range(3)]
+    aqq = [[a_ref[0, 24 + i * 4 + j, 0] for j in range(4)] for i in range(4)]
+    bp = [[b_ref[0, i * 4 + l, 0] for l in range(4)] for i in range(3)]
+    bv = [[b_ref[0, 12 + i * 4 + l, 0] for l in range(4)] for i in range(3)]
+    bq = [[b_ref[0, 24 + i * 3 + l, 0] for l in range(3)] for i in range(4)]
+    return apq, avq, aqq, bp, bv, bq
+
+
+def _bt_dot(bp, bv, bq, vec, l):
+    """(B^T vec)[l] for a 10-vector of tiles; bq lacks the c column."""
+    s = sum(bp[t][l] * vec[t] for t in range(3))
+    s = s + sum(bv[t][l] * vec[3 + t] for t in range(3))
+    if l < 3:
+        s = s + sum(bq[t][l] * vec[6 + t] for t in range(4))
+    return s
+
+
+def _backward_kernel(
+    hq_ref, gx_ref, gu_ref, a_ref, b_ref, r_ref,
+    zx_ref, zx1_ref, zu_ref, sigu_ref, sigx_ref, corru_ref, corrx_ref,
+    hqT_ref, gxT_ref, zxT_ref, sigxT_ref, corrxT_ref,
+    K_out, k_out, rhat_out,
+    P_scr, p_scr,
+    *, h, diag6_stage, diag6_term, rdiag_stage,
+):
+    s_rev = pl.program_id(1)
+
+    @pl.when(s_rev == 0)
+    def _():
+        # terminal: P = diag6_term (+) HqT + diag(sigT on v), p = ghat_N
+        zxT = _vec(zxT_ref, NX)
+        for i in range(NX):
+            for j in range(NX):
+                P_scr[i * NX + j] = jnp.zeros((SUB, LANE), zxT[0].dtype)
+        for i in range(6):
+            P_scr[i * NX + i] = diag6_term[i] + jnp.zeros_like(zxT[0])
+            p_scr[i] = gxT_ref[0, i, 0] + diag6_term[i] * zxT[i]
+        for i in range(3):
+            P_scr[(3 + i) * NX + (3 + i)] = (
+                P_scr[(3 + i) * NX + (3 + i)] + sigxT_ref[0, i, 0]
+            )
+            p_scr[3 + i] = p_scr[3 + i] + corrxT_ref[0, i, 0]
+        for i in range(4):
+            for j in range(4):
+                P_scr[(6 + i) * NX + (6 + j)] = hqT_ref[0, i * 4 + j, 0]
+            p_scr[6 + i] = gxT_ref[0, 6 + i, 0] + sum(
+                hqT_ref[0, i * 4 + j, 0] * zxT[6 + j] for j in range(4)
+            )
+
+    P = [[P_scr[i * NX + j] for j in range(NX)] for i in range(NX)]
+    p = [p_scr[i] for i in range(NX)]
+
+    Hq = [[hq_ref[0, i * 4 + j, 0] for j in range(4)] for i in range(4)]
+    gx = _vec(gx_ref, NX)
+    gu = _vec(gu_ref, NU)
+    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
+    r = _vec(r_ref, NX)
+    zx = _vec(zx_ref, NX)
+    zx1 = _vec(zx1_ref, NX)
+    zu = _vec(zu_ref, NU)
+    sig_u = _vec(sigu_ref, NU)
+    sig_x = _vec(sigx_ref, 3)
+    corr_u = _vec(corru_ref, NU)
+    corr_x = _vec(corrx_ref, 3)
+    zq = zx[6:10]
+
+    # ---- fused gradient/defect assembly ----
+    ghx = [gx[i] + diag6_stage[i] * zx[i] for i in range(6)]
+    for i in range(3):
+        ghx[3 + i] = ghx[3 + i] + corr_x[i]
+    ghx = ghx + [
+        gx[6 + i] + sum(Hq[i][j] * zq[j] for j in range(4)) for i in range(4)
+    ]
+    ghu = [gu[l] + rdiag_stage[l] * zu[l] + corr_u[l] for l in range(NU)]
+
+    rh = [None] * NX
+    for i in range(3):
+        rh[i] = (
+            zx[i] + h * zx[3 + i]
+            + sum(apq[i][j] * zq[j] for j in range(4))
+            + sum(bp[i][l] * zu[l] for l in range(4))
+            + r[i] - zx1[i]
+        )
+        rh[3 + i] = (
+            zx[3 + i]
+            + sum(avq[i][j] * zq[j] for j in range(4))
+            + sum(bv[i][l] * zu[l] for l in range(4))
+            + r[3 + i] - zx1[3 + i]
+        )
+    for i in range(4):
+        rh[6 + i] = (
+            sum(aqq[i][j] * zq[j] for j in range(4))
+            + sum(bq[i][l] * zu[l] for l in range(3))
+            + r[6 + i] - zx1[6 + i]
+        )
+    for i in range(NX):
+        rhat_out[0, i, 0] = rh[i]
+
+    # ---- structured Riccati stage ----
+    Prp = [sum(P[i][j] * rh[j] for j in range(NX)) + p[i] for i in range(NX)]
+
+    # PA columns: p-cols copy, v-cols h-shift, q-cols one 10x4 contraction
+    PA = [[None] * NX for _ in range(NX)]
+    for i in range(NX):
+        for j in range(3):
+            PA[i][j] = P[i][j]
+            PA[i][3 + j] = h * P[i][j] + P[i][3 + j]
+        for j in range(4):
+            PA[i][6 + j] = (
+                sum(P[i][t] * apq[t][j] for t in range(3))
+                + sum(P[i][3 + t] * avq[t][j] for t in range(3))
+                + sum(P[i][6 + t] * aqq[t][j] for t in range(4))
+            )
+    PB = [
+        [
+            sum(P[i][t] * bp[t][l] for t in range(3))
+            + sum(P[i][3 + t] * bv[t][l] for t in range(3))
+            + (sum(P[i][6 + t] * bq[t][l] for t in range(4)) if l < 3 else 0.0)
+            for l in range(NU)
+        ]
+        for i in range(NX)
+    ]
+
+    # Qh = Hxx + diag(sig) + A^T PA   (rows of A^T from the same structure)
+    Qh = [[None] * NX for _ in range(NX)]
+    for j in range(NX):
+        for i in range(3):
+            Qh[i][j] = PA[i][j]
+            Qh[3 + i][j] = h * PA[i][j] + PA[3 + i][j]
+        for i in range(4):
+            Qh[6 + i][j] = (
+                sum(apq[t][i] * PA[t][j] for t in range(3))
+                + sum(avq[t][i] * PA[3 + t][j] for t in range(3))
+                + sum(aqq[t][i] * PA[6 + t][j] for t in range(4))
+            )
+    for i in range(6):
+        Qh[i][i] = Qh[i][i] + diag6_stage[i]
+    for i in range(3):
+        Qh[3 + i][3 + i] = Qh[3 + i][3 + i] + sig_x[i]
+    for i in range(4):
+        for j in range(4):
+            Qh[6 + i][6 + j] = Qh[6 + i][6 + j] + Hq[i][j]
+
+    # S = B^T PA (4x10); Rh = const-diag + sig_u + B^T PB (4x4)
+    S = [[_bt_dot(bp, bv, bq, [PA[t][j] for t in range(NX)], l) for j in range(NX)] for l in range(NU)]
+    Rh = [[_bt_dot(bp, bv, bq, [PB[t][m] for t in range(NX)], l) for m in range(NU)] for l in range(NU)]
+    for l in range(NU):
+        Rh[l][l] = Rh[l][l] + (rdiag_stage[l] + sig_u[l])
+
+    qv = [None] * NX
+    for i in range(3):
+        qv[i] = ghx[i] + Prp[i]
+        qv[3 + i] = ghx[3 + i] + h * Prp[i] + Prp[3 + i]
+    for i in range(4):
+        qv[6 + i] = ghx[6 + i] + (
+            sum(apq[t][i] * Prp[t] for t in range(3))
+            + sum(avq[t][i] * Prp[3 + t] for t in range(3))
+            + sum(aqq[t][i] * Prp[6 + t] for t in range(4))
+        )
+    rv = [ghu[l] + _bt_dot(bp, bv, bq, Prp, l) for l in range(NU)]
+
+    L = _chol4(Rh)
+    cols = [[S[l][k] for l in range(NU)] for k in range(NX)] + [rv]
+    sols = _chol4_solve(L, cols)
+    K = [[-sols[k][l] for k in range(NX)] for l in range(NU)]
+    kf = [-sols[NX][l] for l in range(NU)]
+
+    Pn = [
+        [Qh[i][j] + sum(S[l][i] * K[l][j] for l in range(NU)) for j in range(NX)]
+        for i in range(NX)
+    ]
+    for i in range(NX):
+        for j in range(NX):
+            P_scr[i * NX + j] = 0.5 * (Pn[i][j] + Pn[j][i])
+        p_scr[i] = qv[i] + sum(S[l][i] * kf[l] for l in range(NU))
+
+    for l in range(NU):
+        for kk in range(NX):
+            K_out[0, l * NX + kk, 0] = K[l][kk]
+        k_out[0, l, 0] = kf[l]
+
+
+def _forward_kernel(
+    a_ref, b_ref, rhat_ref, K_ref, k_ref, lo_ref, hi_ref, dx0_ref,
+    dx_out, du_out, dxN_out,
+    dx_scr,
+    *, h, n_stages, clip,
+):
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        for i in range(NX):
+            dx_scr[i] = dx0_ref[0, i, 0]
+
+    dx = [dx_scr[i] for i in range(NX)]
+    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
+    rh = _vec(rhat_ref, NX)
+    K = [[K_ref[0, l * NX + j, 0] for j in range(NX)] for l in range(NU)]
+    kf = _vec(k_ref, NU)
+
+    du = [sum(K[l][j] * dx[j] for j in range(NX)) + kf[l] for l in range(NU)]
+    if clip:
+        lo = _vec(lo_ref, NU)
+        hi = _vec(hi_ref, NU)
+        du = [jnp.minimum(jnp.maximum(du[l], lo[l]), hi[l]) for l in range(NU)]
+
+    for i in range(NX):
+        dx_out[0, i, 0] = dx[i]
+    for l in range(NU):
+        du_out[0, l, 0] = du[l]
+
+    dq = dx[6:10]
+    nxt = [None] * NX
+    for i in range(3):
+        nxt[i] = (
+            dx[i] + h * dx[3 + i]
+            + sum(apq[i][j] * dq[j] for j in range(4))
+            + sum(bp[i][l] * du[l] for l in range(4))
+            + rh[i]
+        )
+        nxt[3 + i] = (
+            dx[3 + i]
+            + sum(avq[i][j] * dq[j] for j in range(4))
+            + sum(bv[i][l] * du[l] for l in range(4))
+            + rh[3 + i]
+        )
+    for i in range(4):
+        nxt[6 + i] = (
+            sum(aqq[i][j] * dq[j] for j in range(4))
+            + sum(bq[i][l] * du[l] for l in range(3))
+            + rh[6 + i]
+        )
+    for i in range(NX):
+        dx_scr[i] = nxt[i]
+
+    @pl.when(s == n_stages - 1)
+    def _():
+        for i in range(NX):
+            dxN_out[0, i, 0] = nxt[i]
+
+
+def _stage_spec(d, reverse, n_stages, shift=0):
+    if reverse:
+        return pl.BlockSpec(
+            (1, d, 1, SUB, LANE),
+            lambda i, s: (n_stages - 1 - s + shift, 0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (1, d, 1, SUB, LANE),
+        lambda i, s: (s + shift, 0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _pinned_spec(d, stage):
+    return pl.BlockSpec(
+        (1, d, 1, SUB, LANE),
+        lambda i, s: (stage, 0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "diag6_stage", "diag6_term", "rdiag_stage", "interpret"),
+)
+def riccati_sweep_sparse(
+    hq, gx, gu, a, b, r, zx, zu, sig_u, sig_x, corr_u, corr_x, dx0_res,
+    clip_lo=None, clip_hi=None,
+    *, h, diag6_stage, diag6_term, rdiag_stage, interpret: bool = False,
+):
+    """One fused backward+forward sweep in sparse packed layout.
+
+    Shapes (tail = (nb, 8, 128)): hq (N+1,16), gx (N+1,10), gu (N,4),
+    a (N,40), b (N,36), r (N,10), zx (N+1,10), zu (N,4), sig_u (N,4),
+    sig_x (N+1,3), corr_u (N,4), corr_x (N+1,3), dx0_res (1,10),
+    clip_lo/hi (N,4) or None.
+
+    Computes the Newton direction of the equality-constrained LQR at iterate
+    (zx, zu) with gradients ghat = g + H z + corr and defects
+    rhat = A zx + B zu + r - zx' assembled in-kernel.
+
+    Returns (dx (N+1,10,tail), du (N,4,tail), rhat (N,10,tail)).
+    """
+    Np1, _, nb = hq.shape[:3]
+    N = Np1 - 1
+    dt = hq.dtype
+    grid = (nb, N)
+
+    consts = dict(
+        h=h, diag6_stage=diag6_stage, diag6_term=diag6_term,
+        rdiag_stage=rdiag_stage,
+    )
+    out_shape_b = (
+        jax.ShapeDtypeStruct((N, NU * NX, nb, SUB, LANE), dt),
+        jax.ShapeDtypeStruct((N, NU, nb, SUB, LANE), dt),
+        jax.ShapeDtypeStruct((N, NX, nb, SUB, LANE), dt),
+    )
+    K, kf, rhat = pl.pallas_call(
+        functools.partial(_backward_kernel, **consts),
+        grid=grid,
+        in_specs=[
+            _stage_spec(16, True, N),  # hq (stages 0..N-1)
+            _stage_spec(NX, True, N),  # gx
+            _stage_spec(NU, True, N),  # gu
+            _stage_spec(40, True, N),  # a
+            _stage_spec(36, True, N),  # b
+            _stage_spec(NX, True, N),  # r
+            _stage_spec(NX, True, N),  # zx at s
+            _stage_spec(NX, True, N, shift=1),  # zx at s+1
+            _stage_spec(NU, True, N),  # zu
+            _stage_spec(NU, True, N),  # sig_u
+            _stage_spec(3, True, N),  # sig_x
+            _stage_spec(NU, True, N),  # corr_u
+            _stage_spec(3, True, N),  # corr_x
+            _pinned_spec(16, N),  # hq terminal
+            _pinned_spec(NX, N),  # gx terminal
+            _pinned_spec(NX, N),  # zx terminal
+            _pinned_spec(3, N),  # sig_x terminal
+            _pinned_spec(3, N),  # corr_x terminal
+        ],
+        out_specs=[
+            _stage_spec(NU * NX, True, N),
+            _stage_spec(NU, True, N),
+            _stage_spec(NX, True, N),
+        ],
+        out_shape=out_shape_b,
+        scratch_shapes=[
+            pltpu.VMEM((NX * NX, SUB, LANE), dt),
+            pltpu.VMEM((NX, SUB, LANE), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        hq, gx, gu, a, b, r, zx, zx, zu, sig_u, sig_x, corr_u, corr_x,
+        hq, gx, zx, sig_x, corr_x,
+    )
+
+    clip = clip_lo is not None
+    if not clip:
+        clip_lo = jnp.zeros((N, NU, nb, SUB, LANE), dt)
+        clip_hi = clip_lo
+    out_shape_f = (
+        jax.ShapeDtypeStruct((N, NX, nb, SUB, LANE), dt),
+        jax.ShapeDtypeStruct((N, NU, nb, SUB, LANE), dt),
+        jax.ShapeDtypeStruct((1, NX, nb, SUB, LANE), dt),
+    )
+    dx019, du, dxN = pl.pallas_call(
+        functools.partial(_forward_kernel, h=h, n_stages=N, clip=clip),
+        grid=grid,
+        in_specs=[
+            _stage_spec(40, False, N),  # a
+            _stage_spec(36, False, N),  # b
+            _stage_spec(NX, False, N),  # rhat
+            _stage_spec(NU * NX, False, N),  # K
+            _stage_spec(NU, False, N),  # k
+            _stage_spec(NU, False, N),  # lo
+            _stage_spec(NU, False, N),  # hi
+            _pinned_spec(NX, 0),  # dx0
+        ],
+        out_specs=[
+            _stage_spec(NX, False, N),
+            _stage_spec(NU, False, N),
+            _pinned_spec(NX, 0),
+        ],
+        out_shape=out_shape_f,
+        scratch_shapes=[pltpu.VMEM((NX, SUB, LANE), dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(a, b, rhat, K, kf, clip_lo, clip_hi, dx0_res)
+
+    dx = jnp.concatenate([dx019, dxN], axis=0)
+    return dx, du, rhat

@@ -1,0 +1,172 @@
+"""Interior-point loop over the fused structure-sparse Riccati kernels.
+
+Same primal-dual algorithm as `qp_ipm.solve_qp` / `qp_ipm_packed.ipm_packed`
+(fixed iteration count, fraction-to-boundary, slack elimination of the box
+constraints) but each iteration is exactly TWO kernel launches: the fused
+backward sweep (which assembles ghat/rhat in-kernel — no separate lane-matvec
+pass re-reading the stage matrices) and the structured forward rollout. The
+host-side part of an iteration is only the O(stage x 4) slack/dual
+elementwise algebra and the step-size reductions.
+
+See `ops/pallas/riccati_sparse.py` for the kernel layout story and
+`ocp_sparse.py` for the data layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas.riccati_sparse import riccati_sweep_sparse
+from .ocp_sparse import SparseQp, SparseQpConsts
+from .qp_ipm import ipm_corr_terms, ipm_max_step, ipm_slack_init
+
+
+def sparse_defect(p: SparseQp, consts: SparseQpConsts, zx, zu):
+    """A zx + B zu + r - zx' in packed layout (jnp, for the final residual).
+
+    zx (N+1, 10, tail), zu (N, 4, tail) -> (N, 10, tail).
+    """
+    N = p.r.shape[0]
+    tail = p.r.shape[2:]
+    h = consts.h
+    apq = p.a[:, 0:12].reshape((N, 3, 4) + tail)
+    avq = p.a[:, 12:24].reshape((N, 3, 4) + tail)
+    aqq = p.a[:, 24:40].reshape((N, 4, 4) + tail)
+    bp = p.b[:, 0:12].reshape((N, 3, 4) + tail)
+    bv = p.b[:, 12:24].reshape((N, 3, 4) + tail)
+    bq = p.b[:, 24:36].reshape((N, 4, 3) + tail)
+    zq = zx[:N, 6:10]
+    zw = zu[:, 0:3]
+    out_p = (
+        zx[:N, 0:3] + h * zx[:N, 3:6]
+        + jnp.sum(apq * zq[:, None], axis=2)
+        + jnp.sum(bp * zu[:, None], axis=2)
+    )
+    out_v = (
+        zx[:N, 3:6]
+        + jnp.sum(avq * zq[:, None], axis=2)
+        + jnp.sum(bv * zu[:, None], axis=2)
+    )
+    out_q = jnp.sum(aqq * zq[:, None], axis=2) + jnp.sum(
+        bq * zw[:, None], axis=2
+    )
+    return jnp.concatenate([out_p, out_v, out_q], axis=1) + p.r - zx[1:]
+
+
+def ipm_sparse(
+    p: SparseQp,
+    consts: SparseQpConsts,
+    dx0_p: jnp.ndarray,
+    *,
+    num_iters: int = 12,
+    sigma: float = 0.1,
+    tau: float = 0.95,
+    mu_init: float = 1.0,
+    s_min: float = 1e-3,
+    mu_min: float = 1e-12,
+    interpret: bool = False,
+):
+    """Returns (zx (N+1,10,tail), zu (N,4,tail), mu (tail), eq_res (tail))."""
+    Np1, nx = p.gx.shape[:2]
+    N = Np1 - 1
+    nu = p.gu.shape[1]
+    dt = p.gx.dtype
+    nb = p.gx.shape[2]
+    tail = (nb, 8, 128)
+
+    sweep = functools.partial(
+        riccati_sweep_sparse,
+        h=consts.h, diag6_stage=consts.diag6_stage,
+        diag6_term=consts.diag6_term, rdiag_stage=consts.rdiag_stage,
+        interpret=interpret,
+    )
+
+    zeros_su = jnp.zeros((N, nu) + tail, dt)
+    zeros_sx = jnp.zeros((Np1, nx) + tail, dt)
+    zeros_s3 = jnp.zeros((Np1, 3) + tail, dt)
+
+    # clipped-LQR warm start: zero iterate, raw gradients/defects
+    margin = 1e-3 * (p.uu - p.lu)
+    zx, zu, _ = sweep(
+        p.hq, p.gx, p.gu, p.a, p.b, p.r,
+        zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
+        clip_lo=p.lu + margin, clip_hi=p.uu - margin,
+    )
+
+    su_lo, su_up = ipm_slack_init(p.lu, p.uu, zu, s_min)
+    sx_lo, sx_up = ipm_slack_init(p.lx, p.ux, zx[:, 3:6], s_min)
+    mu0 = jnp.asarray(mu_init, dt)
+    lam = (mu0 / su_lo, mu0 / su_up, mu0 / sx_lo, mu0 / sx_up)
+    n_cons = 2 * N * nu + 2 * Np1 * 3
+
+    def step(carry, _):
+        zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu = carry
+        vx = zx[:, 3:6]
+        sig_u, corr_u, ru_lo, ru_up, rcu_lo, rcu_up = ipm_corr_terms(
+            zu, p.lu, p.uu, su_lo, su_up, lu_lo, lu_up, mu
+        )
+        sig_x, corr_x, rx_lo, rx_up, rcx_lo, rcx_up = ipm_corr_terms(
+            vx, p.lx, p.ux, sx_lo, sx_up, lx_lo, lx_up, mu
+        )
+        dx0_res = dx0_p - zx[:1]
+
+        d_zx, d_zu, _rhat = sweep(
+            p.hq, p.gx, p.gu, p.a, p.b, p.r,
+            zx, zu, sig_u, sig_x, corr_u, corr_x, dx0_res,
+        )
+
+        d_vx = d_zx[:, 3:6]
+        dsu_lo = d_zu + ru_lo
+        dsu_up = -d_zu + ru_up
+        dsx_lo = d_vx + rx_lo
+        dsx_up = -d_vx + rx_up
+        dlu_lo = -(rcu_lo + lu_lo * dsu_lo) / su_lo
+        dlu_up = -(rcu_up + lu_up * dsu_up) / su_up
+        dlx_lo = -(rcx_lo + lx_lo * dsx_lo) / sx_lo
+        dlx_up = -(rcx_up + lx_up * dsx_up) / sx_up
+
+        def max_step(v, dv):
+            return ipm_max_step(v, dv, tau, axes=(0, 1))
+
+        a_p = jnp.minimum(
+            jnp.minimum(max_step(su_lo, dsu_lo), max_step(su_up, dsu_up)),
+            jnp.minimum(max_step(sx_lo, dsx_lo), max_step(sx_up, dsx_up)),
+        )
+        a_d = jnp.minimum(
+            jnp.minimum(max_step(lu_lo, dlu_lo), max_step(lu_up, dlu_up)),
+            jnp.minimum(max_step(lx_lo, dlx_lo), max_step(lx_up, dlx_up)),
+        )
+
+        zx = zx + a_p * d_zx
+        zu = zu + a_p * d_zu
+        su_lo = su_lo + a_p * dsu_lo
+        su_up = su_up + a_p * dsu_up
+        sx_lo = sx_lo + a_p * dsx_lo
+        sx_up = sx_up + a_p * dsx_up
+        lu_lo = lu_lo + a_d * dlu_lo
+        lu_up = lu_up + a_d * dlu_up
+        lx_lo = lx_lo + a_d * dlx_lo
+        lx_up = lx_up + a_d * dlx_up
+
+        comp = (
+            jnp.sum(su_lo * lu_lo, axis=(0, 1))
+            + jnp.sum(su_up * lu_up, axis=(0, 1))
+            + jnp.sum(sx_lo * lx_lo, axis=(0, 1))
+            + jnp.sum(sx_up * lx_up, axis=(0, 1))
+        ) / n_cons
+        mu = jnp.maximum(sigma * comp, mu_min)
+        return (zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu), None
+
+    carry = (zx, zu, su_lo, su_up, sx_lo, sx_up, *lam, jnp.full(tail, mu0, dt))
+    carry, _ = jax.lax.scan(step, carry, None, length=num_iters)
+    zx, zu = carry[0], carry[1]
+    mu = carry[-1]
+
+    eq = sparse_defect(p, consts, zx, zu)
+    eq_res = jnp.sqrt(
+        jnp.sum(eq * eq, axis=(0, 1)) + jnp.sum((dx0_p - zx[:1]) ** 2, axis=(0, 1))
+    )
+    return zx, zu, mu, eq_res

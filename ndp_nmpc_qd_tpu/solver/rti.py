@@ -160,10 +160,34 @@ def make_batched_rti_controller(
         return RtiController(reset, update, ocp, vehicle, with_disturbance)
 
     from ..ops.pallas.riccati import BLOCK, unpack
-    from .ocp_packed import make_ocp_functions_packed
-    from .qp_ipm_packed import ipm_packed
 
-    linearize_packed, _ = make_ocp_functions_packed(ocp, vehicle, with_disturbance)
+    if backend == "pallas_packed":
+        # legacy dense-packed kernels (kept for cross-validation)
+        from .ocp_packed import make_ocp_functions_packed
+        from .qp_ipm_packed import ipm_packed
+
+        linearize_packed, _ = make_ocp_functions_packed(
+            ocp, vehicle, with_disturbance
+        )
+
+        def solve_packed(qp, dx0_p):
+            return ipm_packed(
+                qp, dx0_p, num_iters=qp_iters, interpret=interpret
+            )
+    else:
+        # production path: structure-sparse fused kernels
+        from .ocp_sparse import make_ocp_functions_sparse
+        from .qp_ipm_sparse import ipm_sparse
+
+        linearize_sparse, sp_consts, _ = make_ocp_functions_sparse(
+            ocp, vehicle, with_disturbance
+        )
+        linearize_packed = linearize_sparse
+
+        def solve_packed(qp, dx0_p):
+            return ipm_sparse(
+                qp, sp_consts, dx0_p, num_iters=qp_iters, interpret=interpret
+            )
 
     def update(state, x0, xr, ur, f_dist=None):
         if not with_disturbance:
@@ -182,9 +206,7 @@ def make_batched_rti_controller(
             padb(state.x_bar), padb(state.u_bar), padb(xr), padb(ur),
             padb(f_dist), padb(x0),
         )
-        zx, zu, mu_p, eq_p = ipm_packed(
-            qp, dx0_p, num_iters=qp_iters, interpret=interpret
-        )
+        zx, zu, mu_p, eq_p = solve_packed(qp, dx0_p)
         dx = unpack(zx, (state.x_bar.shape[-1],))[:B]
         du = unpack(zu, (state.u_bar.shape[-1],))[:B]
         sol_mu = mu_p.reshape(-1)[:B]
