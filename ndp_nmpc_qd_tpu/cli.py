@@ -83,7 +83,8 @@ def run_mission(args) -> dict:
         )
 
     init_fn, _, run_fn = make_episode(
-        cfg, traj, hold_ticks=args.hold_ticks, **kwargs
+        cfg, traj, hold_ticks=args.hold_ticks,
+        solver_warm_start=args.warm, qp_iters=args.qp_iters, **kwargs
     )
     n_ticks = args.hold_ticks + int(args.track_secs / cfg.ocp.ts_nmpc)
 
@@ -173,6 +174,12 @@ def main(argv=None):
     mission.add_argument("--nn", default=None, help="downwash net .npz")
     mission.add_argument("--cpu", action="store_true", help="force CPU backend")
     mission.add_argument("--f64", action="store_true")
+    mission.add_argument(
+        "--warm", action="store_true",
+        help="carry QP multipliers across ticks (validated equal-accuracy; "
+        "pair with --qp-iters 6)",
+    )
+    mission.add_argument("--qp-iters", type=int, default=12)
     mission.add_argument(
         "--scenario", default=None,
         help="trajectory yaml (configs/ name or path), e.g. eight_high_dyn",

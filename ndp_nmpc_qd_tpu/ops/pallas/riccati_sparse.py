@@ -83,7 +83,10 @@ def _backward_kernel(
             p_scr[3 + i] = p_scr[3 + i] + corrxT_ref[0, i, 0]
         for i in range(4):
             for j in range(4):
-                P_scr[(6 + i) * NX + (6 + j)] = hqT_ref[0, i * 4 + j, 0]
+                # explicit cast: hq may be stored bf16, scratch is f32
+                P_scr[(6 + i) * NX + (6 + j)] = hqT_ref[0, i * 4 + j, 0].astype(
+                    zxT[0].dtype
+                )
             p_scr[6 + i] = gxT_ref[0, 6 + i, 0] + sum(
                 hqT_ref[0, i * 4 + j, 0] * zxT[6 + j] for j in range(4)
             )
@@ -327,7 +330,7 @@ def riccati_sweep_sparse(
     """
     Np1, _, nb = hq.shape[:3]
     N = Np1 - 1
-    dt = hq.dtype
+    dt = gx.dtype  # compute dtype; hq/a/b may be stored narrower (bf16)
     grid = (nb, N)
 
     consts = dict(

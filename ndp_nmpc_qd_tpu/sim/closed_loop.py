@@ -91,6 +91,8 @@ def make_episode(
     hold_ticks: int = 0,
     independent: bool = False,
     solver_backend: str = "auto",
+    solver_warm_start: bool = False,
+    solver_jac_bf16: bool = False,
 ):
     """Build (init_fn, step_fn, run_fn) for a swarm episode.
 
@@ -123,7 +125,8 @@ def make_episode(
         )
     ctl = make_batched_rti_controller(
         ocp, veh, with_disturbance=True, qp_iters=qp_iters,
-        backend=solver_backend,
+        backend=solver_backend, warm_start=solver_warm_start,
+        jac_bf16=solver_jac_bf16,
     )
     if formation_fn is None:
         formation_fn = partial(reference_formation_offsets, n_drones=n_drones)

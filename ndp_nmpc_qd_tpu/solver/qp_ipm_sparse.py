@@ -15,6 +15,7 @@ See `ops/pallas/riccati_sparse.py` for the kernel layout story and
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,24 @@ import jax.numpy as jnp
 from ..ops.pallas.riccati_sparse import riccati_sweep_sparse
 from .ocp_sparse import SparseQp, SparseQpConsts
 from .qp_ipm import ipm_corr_terms, ipm_max_step, ipm_slack_init
+
+
+class IpmWarm(NamedTuple):
+    """Dual warm-start state carried across control ticks (packed layout).
+
+    Slacks are NOT carried — they are re-derived from the current tick's
+    bounds at the zero primal iterate (always feasible), which makes the
+    warm start robust to arbitrary reference/bound changes; the multipliers
+    encode the active set, which is what actually persists between ticks.
+    `mu < 0` is the cold sentinel (fresh reset): that scenario falls back to
+    the classic lambda = mu0/s initialization.
+    """
+
+    lu_lo: jnp.ndarray  # (N, nu, nb, 8, 128)
+    lu_up: jnp.ndarray
+    lx_lo: jnp.ndarray  # (N+1, 3, nb, 8, 128)
+    lx_up: jnp.ndarray
+    mu: jnp.ndarray  # (nb, 8, 128); < 0 => cold
 
 
 def sparse_defect(p: SparseQp, consts: SparseQpConsts, zx, zu):
@@ -68,8 +87,19 @@ def ipm_sparse(
     s_min: float = 1e-3,
     mu_min: float = 1e-12,
     interpret: bool = False,
+    warm: IpmWarm | None = None,
 ):
-    """Returns (zx (N+1,10,tail), zu (N,4,tail), mu (tail), eq_res (tail))."""
+    """Returns (zx (N+1,10,tail), zu (N,4,tail), mu (tail), eq_res (tail),
+    new_warm: IpmWarm).
+
+    With `warm=None` (one-shot solve): clipped-LQR primal warm start + cold
+    duals, exactly the published algorithm. With an `IpmWarm` carried from
+    the previous control tick: zero primal start (the RTI iterate shift
+    already absorbed last tick's solution), slacks re-derived from the
+    current bounds, multipliers and barrier weight carried — scenarios whose
+    `warm.mu < 0` (fresh reset) fall back to the cold initialization
+    in-graph.
+    """
     Np1, nx = p.gx.shape[:2]
     N = Np1 - 1
     nu = p.gu.shape[1]
@@ -88,19 +118,46 @@ def ipm_sparse(
     zeros_sx = jnp.zeros((Np1, nx) + tail, dt)
     zeros_s3 = jnp.zeros((Np1, 3) + tail, dt)
 
-    # clipped-LQR warm start: zero iterate, raw gradients/defects
+    mu0 = jnp.asarray(mu_init, dt)
+    n_cons = 2 * N * nu + 2 * Np1 * 3
+
+    # clipped-LQR primal warm start: dynamics-feasible, strictly inside the
+    # control box — robust for far-from-reference states (cold) and lands
+    # near the previous solution when the problem barely moved (warm)
     margin = 1e-3 * (p.uu - p.lu)
     zx, zu, _ = sweep(
         p.hq, p.gx, p.gu, p.a, p.b, p.r,
         zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
         clip_lo=p.lu + margin, clip_hi=p.uu - margin,
     )
-
     su_lo, su_up = ipm_slack_init(p.lu, p.uu, zu, s_min)
     sx_lo, sx_up = ipm_slack_init(p.lx, p.ux, zx[:, 3:6], s_min)
-    mu0 = jnp.asarray(mu_init, dt)
-    lam = (mu0 / su_lo, mu0 / su_up, mu0 / sx_lo, mu0 / sx_up)
-    n_cons = 2 * N * nu + 2 * Np1 * 3
+
+    if warm is None:
+        lam = (mu0 / su_lo, mu0 / su_up, mu0 / sx_lo, mu0 / sx_up)
+        mu_start = jnp.full(tail, mu0, dt)
+    else:
+        # dual warm start: multipliers carried from the previous control
+        # tick (they encode the active set, which persists between ticks);
+        # scenarios with the cold sentinel fall back to mu0/s
+        cold = warm.mu < 0  # (tail,) fresh-reset sentinel
+
+        def mix(l_carried, s):
+            return jnp.where(cold, mu0 / s, jnp.maximum(l_carried, 1e-12))
+
+        lam = (
+            mix(warm.lu_lo, su_lo), mix(warm.lu_up, su_up),
+            mix(warm.lx_lo, sx_lo), mix(warm.lx_up, sx_up),
+        )
+        comp0 = (
+            jnp.sum(su_lo * lam[0], axis=(0, 1))
+            + jnp.sum(su_up * lam[1], axis=(0, 1))
+            + jnp.sum(sx_lo * lam[2], axis=(0, 1))
+            + jnp.sum(sx_up * lam[3], axis=(0, 1))
+        ) / n_cons
+        mu_start = jnp.where(
+            cold, mu0, jnp.clip(sigma * comp0, mu_min, mu0)
+        )
 
     def step(carry, _):
         zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu = carry
@@ -158,15 +215,33 @@ def ipm_sparse(
             + jnp.sum(sx_up * lx_up, axis=(0, 1))
         ) / n_cons
         mu = jnp.maximum(sigma * comp, mu_min)
-        return (zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu), None
+        # the defect contracts EXACTLY by (1 - a_p) per iteration (the Newton
+        # direction solves the linearized equalities), so the residual norm of
+        # the final iterate is (1 - a_p) * ||(rhat, dx0_res)|| of the last
+        # iteration — no extra matvec needed
+        res2 = jnp.sum(_rhat * _rhat, axis=(0, 1)) + jnp.sum(
+            dx0_res * dx0_res, axis=(0, 1)
+        )
+        return (
+            (zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu),
+            (res2, a_p),
+        )
 
-    carry = (zx, zu, su_lo, su_up, sx_lo, sx_up, *lam, jnp.full(tail, mu0, dt))
-    carry, _ = jax.lax.scan(step, carry, None, length=num_iters)
+    carry = (zx, zu, su_lo, su_up, sx_lo, sx_up, *lam, mu_start)
+    carry, ys = jax.lax.scan(step, carry, None, length=num_iters)
     zx, zu = carry[0], carry[1]
     mu = carry[-1]
 
-    eq = sparse_defect(p, consts, zx, zu)
-    eq_res = jnp.sqrt(
-        jnp.sum(eq * eq, axis=(0, 1)) + jnp.sum((dx0_p - zx[:1]) ** 2, axis=(0, 1))
+    if warm is None or num_iters == 0:
+        eq = sparse_defect(p, consts, zx, zu)
+        eq_res = jnp.sqrt(
+            jnp.sum(eq * eq, axis=(0, 1))
+            + jnp.sum((dx0_p - zx[:1]) ** 2, axis=(0, 1))
+        )
+    else:
+        res2, a_p = ys
+        eq_res = (1.0 - a_p[-1]) * jnp.sqrt(res2[-1])
+    new_warm = IpmWarm(
+        lu_lo=carry[6], lu_up=carry[7], lx_lo=carry[8], lx_up=carry[9], mu=mu
     )
-    return zx, zu, mu, eq_res
+    return zx, zu, mu, eq_res, new_warm

@@ -36,10 +36,18 @@ from .qp_ipm import solve_qp
 
 
 class RtiState(NamedTuple):
-    """Shooting-node iterates (the acados solver's internal x/u trajectories)."""
+    """Shooting-node iterates (the acados solver's internal x/u trajectories).
+
+    `ipm` (batched pallas controller with warm_start=True only) carries the
+    QP multipliers + barrier weight across control ticks in batch-first
+    layout: (lu_lo, lu_up (B,N,nu), lx_lo, lx_up (B,N+1,3), mu (B,)); mu < 0
+    marks a scenario as cold (fresh reset — reproducing the reference's
+    warm-start kill, `nmpc_body_rate_ctl.py:86-91`, at the QP level too).
+    """
 
     x_bar: jnp.ndarray  # (N+1, nx)
     u_bar: jnp.ndarray  # (N, nu)
+    ipm: tuple | None = None
 
 
 class RtiInfo(NamedTuple):
@@ -117,15 +125,32 @@ def make_batched_rti_controller(
     eq_tol: float = 1e-3,
     backend: str = "auto",
     interpret: bool = False,
+    warm_start: bool = False,
+    jac_bf16: bool = False,
 ) -> RtiController:
     """Batch-first RTI controller: all arguments carry a leading scenario
-    axis B and the QP batch is solved by the packed Pallas IPM
-    (`solver/qp_ipm_packed.py`) — the production TPU path. With
+    axis B and the QP batch is solved by the structure-sparse fused Pallas
+    IPM (`solver/qp_ipm_sparse.py`) — the production TPU path. With
     backend="jax" it falls back to `jax.vmap` over the scan-based solver
     (used on CPU and for tiny batches where padding to the 1024-lane block
-    would waste the chip).
+    would waste the chip); backend="pallas_packed" selects the legacy dense
+    packed kernels (kept for cross-validation).
 
-    Semantics are identical to `make_rti_controller` + outer vmap.
+    `warm_start=True` (pallas backend only) carries the QP multipliers and
+    barrier weight across control ticks in `RtiState.ipm` — the steady-state
+    solve then converges in fewer interior-point iterations, so pair it with
+    a reduced `qp_iters` (6-8; accuracy validated in
+    `tests/test_warm_start.py` and closed loop by tools/validate_backends).
+    `reset()` marks every scenario cold, reproducing the reference's
+    warm-start kill on new trajectories at the QP level too.
+
+    `jac_bf16=True` stores the curvature payloads (ERK sensitivities + the
+    quaternion Hessian block) in bfloat16 — inexact-Jacobian Gauss-Newton
+    with full-precision gradients/defects, so the RTI fixed point is
+    unchanged (see `ocp_sparse.make_ocp_functions_sparse`); validated via
+    tools/validate_backends.py before enabling in production.
+
+    Semantics are otherwise identical to `make_rti_controller` + outer vmap.
     """
     import jax
 
@@ -159,7 +184,7 @@ def make_batched_rti_controller(
 
         return RtiController(reset, update, ocp, vehicle, with_disturbance)
 
-    from ..ops.pallas.riccati import BLOCK, unpack
+    from ..ops.pallas.riccati import BLOCK, pack, unpack
 
     if backend == "pallas_packed":
         # legacy dense-packed kernels (kept for cross-validation)
@@ -170,24 +195,43 @@ def make_batched_rti_controller(
             ocp, vehicle, with_disturbance
         )
 
-        def solve_packed(qp, dx0_p):
+        def solve_packed(qp, dx0_p, warm):
             return ipm_packed(
                 qp, dx0_p, num_iters=qp_iters, interpret=interpret
-            )
+            ) + (None,)
     else:
         # production path: structure-sparse fused kernels
         from .ocp_sparse import make_ocp_functions_sparse
         from .qp_ipm_sparse import ipm_sparse
 
         linearize_sparse, sp_consts, _ = make_ocp_functions_sparse(
-            ocp, vehicle, with_disturbance
+            ocp, vehicle, with_disturbance,
+            jac_dtype=jnp.bfloat16 if jac_bf16 else None,
         )
         linearize_packed = linearize_sparse
 
-        def solve_packed(qp, dx0_p):
+        def solve_packed(qp, dx0_p, warm):
             return ipm_sparse(
-                qp, sp_consts, dx0_p, num_iters=qp_iters, interpret=interpret
+                qp, sp_consts, dx0_p, num_iters=qp_iters,
+                interpret=interpret, warm=warm,
             )
+
+    use_warm = warm_start and backend == "pallas"
+    N = ocp.N_node
+
+    if use_warm:
+        from .qp_ipm_sparse import IpmWarm
+
+        def reset(xr: jnp.ndarray, ur: jnp.ndarray) -> RtiState:
+            xr = jnp.asarray(xr)
+            B = xr.shape[0]
+            dt = xr.dtype
+            ipm0 = (
+                jnp.zeros((B, N, 4), dt), jnp.zeros((B, N, 4), dt),
+                jnp.zeros((B, N + 1, 3), dt), jnp.zeros((B, N + 1, 3), dt),
+                jnp.full((B,), -1.0, dt),
+            )
+            return RtiState(xr, jnp.asarray(ur), ipm0)
 
     def update(state, x0, xr, ur, f_dist=None):
         if not with_disturbance:
@@ -206,12 +250,31 @@ def make_batched_rti_controller(
             padb(state.x_bar), padb(state.u_bar), padb(xr), padb(ur),
             padb(f_dist), padb(x0),
         )
-        zx, zu, mu_p, eq_p = solve_packed(qp, dx0_p)
+        if use_warm:
+            lul, luu, lxl, lxu, mu_c = state.ipm
+            warm = IpmWarm(
+                lu_lo=pack(padb(lul)), lu_up=pack(padb(luu)),
+                lx_lo=pack(padb(lxl)), lx_up=pack(padb(lxu)),
+                mu=pack(padb(mu_c[:, None, None]))[0, 0],
+            )
+        else:
+            warm = None
+        zx, zu, mu_p, eq_p, new_warm = solve_packed(qp, dx0_p, warm)
         dx = unpack(zx, (state.x_bar.shape[-1],))[:B]
         du = unpack(zu, (state.u_bar.shape[-1],))[:B]
         sol_mu = mu_p.reshape(-1)[:B]
         sol_eq = eq_p.reshape(-1)[:B]
-        new_state = RtiState(state.x_bar + dx, state.u_bar + du)
+        if use_warm:
+            ipm_new = (
+                unpack(new_warm.lu_lo, (4,))[:B],
+                unpack(new_warm.lu_up, (4,))[:B],
+                unpack(new_warm.lx_lo, (3,))[:B],
+                unpack(new_warm.lx_up, (3,))[:B],
+                unpack(new_warm.mu[None, None], ())[:B, 0],
+            )
+        else:
+            ipm_new = state.ipm
+        new_state = RtiState(state.x_bar + dx, state.u_bar + du, ipm_new)
         u0 = new_state.u_bar[:, 0]
         u_lo = jnp.asarray(ocp.u_lower(), u0.dtype)
         u_hi = jnp.asarray(ocp.u_upper(), u0.dtype)

@@ -46,7 +46,19 @@ def recover_rti(
     xr (B, N+1, nx), ur (B, N, nu): the reset targets.
     """
     m = ok[:, None, None]
+    ipm = state.ipm
+    if ipm is not None:
+        # re-seeded scenarios also drop their QP warm start: zero the carried
+        # multipliers and set the cold sentinel mu = -1 (see RtiState.ipm)
+        lul, luu, lxl, lxu, mu = ipm
+        mk = ok[:, None, None]
+        ipm = (
+            jnp.where(mk, lul, 0.0), jnp.where(mk, luu, 0.0),
+            jnp.where(mk, lxl, 0.0), jnp.where(mk, lxu, 0.0),
+            jnp.where(ok, mu, -1.0),
+        )
     return RtiState(
         x_bar=jnp.where(m, state.x_bar, xr),
         u_bar=jnp.where(m, state.u_bar, ur),
+        ipm=ipm,
     )

@@ -205,7 +205,7 @@ def test_sparse_defect_matches_dense(lin_pair):
 
 def test_sparse_ipm_matches_reference(lin_pair):
     cfg, qd, qs, consts, dx0, dx0_p = lin_pair
-    zx, zu, mu, eq = ipm_sparse(
+    zx, zu, mu, eq, _warm = ipm_sparse(
         qs, consts, dx0_p, num_iters=6, interpret=True
     )
     sub = 16

@@ -30,20 +30,67 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ticks", type=int, default=500)
     ap.add_argument("--hold-ticks", type=int, default=100)
+    ap.add_argument(
+        "--warm-iters", type=int, default=0,
+        help="also validate the warm-start pallas path at this qp_iters "
+        "(0 = skip); deviation is reported vs the scan backend",
+    )
+    ap.add_argument(
+        "--bf16", action="store_true",
+        help="also validate the bf16-Jacobian warm path",
+    )
+    ap.add_argument(
+        "--drones", type=int, default=1,
+        help="3 = the three_qd_ndp topology (leader NDP forecast + "
+        "followers + plant downwash coupling); deviations cover ALL drones",
+    )
     args = ap.parse_args()
 
     from ndp_nmpc_qd_tpu.cli import build_eight
+    from ndp_nmpc_qd_tpu.models.downwash_mlp import load_npz
     from ndp_nmpc_qd_tpu.params import NdpNmpcConfig, SimParams
     from ndp_nmpc_qd_tpu.sim.closed_loop import make_episode
 
     cfg = NdpNmpcConfig(sim=SimParams(k_throttle_true=50.0))
     traj = build_eight()
+    ndp_kw = {}
+    if args.drones > 1:
+        ndp_kw = dict(
+            n_drones=args.drones, use_ndp=True, true_downwash=True,
+            downwash_params=load_npz(
+                os.path.join(
+                    os.path.dirname(__file__), "..", "assets",
+                    "downwash_analytic_sn4.npz",
+                )
+            ),
+        )
 
+    variants = [("jax", {}), ("pallas", {})]
+    if args.warm_iters > 0:
+        variants.append(
+            (
+                "pallas_warm",
+                {"solver_warm_start": True, "qp_iters": args.warm_iters},
+            )
+        )
+    if args.bf16:
+        variants.append(
+            (
+                "pallas_warm_bf16",
+                {
+                    "solver_warm_start": True,
+                    "qp_iters": args.warm_iters or 6,
+                    "solver_jac_bf16": True,
+                },
+            )
+        )
     traces = {}
-    for backend in ("jax", "pallas"):
+    for backend, extra in variants:
         init_fn, _, run_fn = make_episode(
-            cfg, traj, n_drones=1, hold_ticks=args.hold_ticks,
-            record_traces=True, solver_backend=backend,
+            cfg, traj, hold_ticks=args.hold_ticks,
+            record_traces=True,
+            solver_backend="pallas" if backend.startswith("pallas") else backend,
+            **{"n_drones": 1, **ndp_kw, **extra},
         )
         st = init_fn(dtype=jnp.float32)
         st, metrics, (xs, u0s, th) = jax.jit(
@@ -56,25 +103,25 @@ def main():
             f"ok={bool(metrics.ok[0])}", file=sys.stderr,
         )
 
-    xs_j, u_j, _ = traces["jax"]
-    xs_p, u_p, _ = traces["pallas"]
-    du = np.abs(u_j - u_p)
-    dpos = np.linalg.norm(xs_j[:, 0, 0:3] - xs_p[:, 0, 0:3], axis=-1)
     import json
 
-    print(
-        json.dumps(
-            {
-                "ticks": args.ticks,
-                "max_control_deviation": float(du.max()),
-                "mean_control_deviation": float(du.mean()),
-                "max_traj_divergence_m": float(dpos.max()),
-                "final_traj_divergence_m": float(dpos[-1]),
-                "tolerance": 1e-3,
-                "pass": bool(du.max() < 1e-3),
-            }
+    xs_j, u_j, _ = traces["jax"]
+    out = {"ticks": args.ticks, "drones": args.drones, "tolerance": 1e-3}
+    for name in [n for n, _ in variants if n != "jax"]:
+        xs_p, u_p, _ = traces[name]
+        du = np.abs(u_j - u_p)
+        dpos = np.linalg.norm(
+            xs_j[..., 0:3] - xs_p[..., 0:3], axis=-1
         )
-    )
+        out[name] = {
+            "max_control_deviation": float(du.max()),
+            "mean_control_deviation": float(du.mean()),
+            "max_traj_divergence_m": float(dpos.max()),
+            "final_traj_divergence_m": float(np.max(dpos[-1])),
+            "pass": bool(du.max() < 1e-3),
+        }
+    out["pass"] = all(v["pass"] for k, v in out.items() if isinstance(v, dict))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
