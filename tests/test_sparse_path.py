@@ -217,3 +217,27 @@ def test_sparse_ipm_matches_reference(lin_pair):
     np.testing.assert_allclose(
         np.asarray(eq.reshape(-1))[:sub], np.asarray(sol_r.eq_res), atol=1e-4
     )
+
+
+def test_bf16_jacobian_path(lin_pair):
+    """bf16 curvature storage: kernels accept mixed dtypes, outputs stay f32,
+    directions agree with the f32 path to bf16-rounding order."""
+    cfg, qd, qs32, consts, dx0, dx0_p = lin_pair
+    # same linearization point as the fixture, curvature payloads cast down
+    # (what make_ocp_functions_sparse(jac_dtype=bf16) emits)
+    qs = qs32._replace(
+        hq=qs32.hq.astype(jnp.bfloat16),
+        a=qs32.a.astype(jnp.bfloat16),
+        b=qs32.b.astype(jnp.bfloat16),
+    )
+    zx, zu, mu, eq, _warm = ipm_sparse(
+        qs, consts, dx0_p, num_iters=2, interpret=True
+    )
+    assert zx.dtype == jnp.float32 and zu.dtype == jnp.float32
+    zx32, zu32, _, _, _ = ipm_sparse(
+        qs32, consts, dx0_p, num_iters=2, interpret=True
+    )
+    # bf16 has ~3 decimal digits; directions should agree to that order
+    np.testing.assert_allclose(
+        np.asarray(zu), np.asarray(zu32), atol=0.05
+    )
