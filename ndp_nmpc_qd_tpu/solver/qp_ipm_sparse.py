@@ -121,15 +121,25 @@ def ipm_sparse(
     mu0 = jnp.asarray(mu_init, dt)
     n_cons = 2 * N * nu + 2 * Np1 * 3
 
-    # clipped-LQR primal warm start: dynamics-feasible, strictly inside the
-    # control box — robust for far-from-reference states (cold) and lands
-    # near the previous solution when the problem barely moved (warm)
+    # clipped-LQR primal warm start: strictly inside the control box — robust
+    # for far-from-reference states (cold) and lands near the previous
+    # solution when the problem barely moved (warm)
     margin = 1e-3 * (p.uu - p.lu)
     zx, zu, _ = sweep(
         p.hq, p.gx, p.gu, p.a, p.b, p.r,
         zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
         clip_lo=p.lu + margin, clip_hi=p.uu - margin,
     )
+    # NOTE on the far regime (studied 2026-08-18): the rollout clips only
+    # controls, so single-step initial offsets beyond ~18 m leave the
+    # planned velocities outside their box and 12 iterations cannot
+    # barrier-walk them back (flagged not-ok honestly; closed loop
+    # recovers). Projecting v into the box here makes it WORSE (13.9 m):
+    # the projected iterate sits on the boundary with a huge dynamics
+    # defect, fraction-to-boundary collapses alpha to ~1e-3 and the defect
+    # stalls. A bounds-feasible dynamically-consistent start (braking
+    # profile) would be needed; out of scope for the reference's +-2 m
+    # flight envelope.
     su_lo, su_up = ipm_slack_init(p.lu, p.uu, zu, s_min)
     sx_lo, sx_up = ipm_slack_init(p.lx, p.ux, zx[:, 3:6], s_min)
 
