@@ -52,10 +52,10 @@ def main():
 
     # operating point: best measured throughput with the device step well
     # inside the reference's 20 ms control deadline (measured 2026-08-18
-    # after the closed-form-Hq linearization fix, warm@6:
-    # B=4096 -> 2.6 ms/1.60M, B=8192 -> 4.7 ms/1.75M solves/s,
+    # after closed-form Hq + nbt grid tiling, warm@6:
+    # B=4096 -> 2.3 ms/1.75M solves/s, B=8192 -> 4.7 ms/1.74M,
     # B=16384 -> 12.0 ms/1.36M)
-    B = int(os.environ.get("BENCH_BATCH", "8192"))
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     pos = jax.random.uniform(k1, (B, 3), jnp.float32, -1.0, 1.0)

@@ -30,20 +30,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .riccati import BLOCK, LANE, SUB, _chol4, _chol4_solve, _vec
+from .riccati import BLOCK, LANE, SUB, _chol4, _chol4_solve
 
 NX = 10
 NU = 4
 
 
+def _vec(ref, n):
+    """n-vector of (nbt, 8, 128) tiles (the block carries nbt batch blocks
+    per grid step — fewer grid steps amortize the per-step overhead)."""
+    return [ref[0, i] for i in range(n)]
+
+
 def _load_blocks(a_ref, b_ref):
-    """Unpack the sparse A/B payloads into lists of (8,128) tiles."""
-    apq = [[a_ref[0, i * 4 + j, 0] for j in range(4)] for i in range(3)]
-    avq = [[a_ref[0, 12 + i * 4 + j, 0] for j in range(4)] for i in range(3)]
-    aqq = [[a_ref[0, 24 + i * 4 + j, 0] for j in range(4)] for i in range(4)]
-    bp = [[b_ref[0, i * 4 + l, 0] for l in range(4)] for i in range(3)]
-    bv = [[b_ref[0, 12 + i * 4 + l, 0] for l in range(4)] for i in range(3)]
-    bq = [[b_ref[0, 24 + i * 3 + l, 0] for l in range(3)] for i in range(4)]
+    """Unpack the sparse A/B payloads into lists of (nbt, 8, 128) tiles."""
+    apq = [[a_ref[0, i * 4 + j] for j in range(4)] for i in range(3)]
+    avq = [[a_ref[0, 12 + i * 4 + j] for j in range(4)] for i in range(3)]
+    aqq = [[a_ref[0, 24 + i * 4 + j] for j in range(4)] for i in range(4)]
+    bp = [[b_ref[0, i * 4 + l] for l in range(4)] for i in range(3)]
+    bv = [[b_ref[0, 12 + i * 4 + l] for l in range(4)] for i in range(3)]
+    bq = [[b_ref[0, 24 + i * 3 + l] for l in range(3)] for i in range(4)]
     return apq, avq, aqq, bp, bv, bq
 
 
@@ -72,29 +78,29 @@ def _backward_kernel(
         zxT = _vec(zxT_ref, NX)
         for i in range(NX):
             for j in range(NX):
-                P_scr[i * NX + j] = jnp.zeros((SUB, LANE), zxT[0].dtype)
+                P_scr[i * NX + j] = jnp.zeros_like(zxT[0])
         for i in range(6):
             P_scr[i * NX + i] = diag6_term[i] + jnp.zeros_like(zxT[0])
-            p_scr[i] = gxT_ref[0, i, 0] + diag6_term[i] * zxT[i]
+            p_scr[i] = gxT_ref[0, i] + diag6_term[i] * zxT[i]
         for i in range(3):
             P_scr[(3 + i) * NX + (3 + i)] = (
-                P_scr[(3 + i) * NX + (3 + i)] + sigxT_ref[0, i, 0]
+                P_scr[(3 + i) * NX + (3 + i)] + sigxT_ref[0, i]
             )
-            p_scr[3 + i] = p_scr[3 + i] + corrxT_ref[0, i, 0]
+            p_scr[3 + i] = p_scr[3 + i] + corrxT_ref[0, i]
         for i in range(4):
             for j in range(4):
                 # explicit cast: hq may be stored bf16, scratch is f32
-                P_scr[(6 + i) * NX + (6 + j)] = hqT_ref[0, i * 4 + j, 0].astype(
+                P_scr[(6 + i) * NX + (6 + j)] = hqT_ref[0, i * 4 + j].astype(
                     zxT[0].dtype
                 )
-            p_scr[6 + i] = gxT_ref[0, 6 + i, 0] + sum(
-                hqT_ref[0, i * 4 + j, 0] * zxT[6 + j] for j in range(4)
+            p_scr[6 + i] = gxT_ref[0, 6 + i] + sum(
+                hqT_ref[0, i * 4 + j] * zxT[6 + j] for j in range(4)
             )
 
     P = [[P_scr[i * NX + j] for j in range(NX)] for i in range(NX)]
     p = [p_scr[i] for i in range(NX)]
 
-    Hq = [[hq_ref[0, i * 4 + j, 0] for j in range(4)] for i in range(4)]
+    Hq = [[hq_ref[0, i * 4 + j] for j in range(4)] for i in range(4)]
     gx = _vec(gx_ref, NX)
     gu = _vec(gu_ref, NU)
     apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
@@ -138,7 +144,7 @@ def _backward_kernel(
             + r[6 + i] - zx1[6 + i]
         )
     for i in range(NX):
-        rhat_out[0, i, 0] = rh[i]
+        rhat_out[0, i] = rh[i]
 
     # ---- structured Riccati stage ----
     Prp = [sum(P[i][j] * rh[j] for j in range(NX)) + p[i] for i in range(NX)]
@@ -220,8 +226,8 @@ def _backward_kernel(
 
     for l in range(NU):
         for kk in range(NX):
-            K_out[0, l * NX + kk, 0] = K[l][kk]
-        k_out[0, l, 0] = kf[l]
+            K_out[0, l * NX + kk] = K[l][kk]
+        k_out[0, l] = kf[l]
 
 
 def _forward_kernel(
@@ -235,12 +241,12 @@ def _forward_kernel(
     @pl.when(s == 0)
     def _():
         for i in range(NX):
-            dx_scr[i] = dx0_ref[0, i, 0]
+            dx_scr[i] = dx0_ref[0, i]
 
     dx = [dx_scr[i] for i in range(NX)]
     apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
     rh = _vec(rhat_ref, NX)
-    K = [[K_ref[0, l * NX + j, 0] for j in range(NX)] for l in range(NU)]
+    K = [[K_ref[0, l * NX + j] for j in range(NX)] for l in range(NU)]
     kf = _vec(k_ref, NU)
 
     du = [sum(K[l][j] * dx[j] for j in range(NX)) + kf[l] for l in range(NU)]
@@ -250,9 +256,9 @@ def _forward_kernel(
         du = [jnp.minimum(jnp.maximum(du[l], lo[l]), hi[l]) for l in range(NU)]
 
     for i in range(NX):
-        dx_out[0, i, 0] = dx[i]
+        dx_out[0, i] = dx[i]
     for l in range(NU):
-        du_out[0, l, 0] = du[l]
+        du_out[0, l] = du[l]
 
     dq = dx[6:10]
     nxt = [None] * NX
@@ -281,29 +287,43 @@ def _forward_kernel(
     @pl.when(s == n_stages - 1)
     def _():
         for i in range(NX):
-            dxN_out[0, i, 0] = nxt[i]
+            dxN_out[0, i] = nxt[i]
 
 
-def _stage_spec(d, reverse, n_stages, shift=0):
+def _stage_spec(d, reverse, n_stages, nbt, shift=0):
     if reverse:
         return pl.BlockSpec(
-            (1, d, 1, SUB, LANE),
+            (1, d, nbt, SUB, LANE),
             lambda i, s: (n_stages - 1 - s + shift, 0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
     return pl.BlockSpec(
-        (1, d, 1, SUB, LANE),
+        (1, d, nbt, SUB, LANE),
         lambda i, s: (s + shift, 0, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
 
-def _pinned_spec(d, stage):
+def _pinned_spec(d, stage, nbt):
     return pl.BlockSpec(
-        (1, d, 1, SUB, LANE),
+        (1, d, nbt, SUB, LANE),
         lambda i, s: (stage, 0, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+
+
+def _nbt_for(nb: int) -> int:
+    """Batch blocks per grid step: as wide as VMEM comfortably allows.
+
+    nbt=4 keeps the backward kernel's working set (~8.5 MB incl. double
+    buffering and the P scratch) under the ~16 MB VMEM budget while cutting
+    the number of (sequential) grid steps 4x — the per-step overhead was
+    ~40% of the sweep at nbt=1.
+    """
+    for cand in (4, 2, 1):
+        if nb % cand == 0:
+            return cand
+    return 1
 
 
 @functools.partial(
@@ -331,7 +351,8 @@ def riccati_sweep_sparse(
     Np1, _, nb = hq.shape[:3]
     N = Np1 - 1
     dt = gx.dtype  # compute dtype; hq/a/b may be stored narrower (bf16)
-    grid = (nb, N)
+    nbt = _nbt_for(nb)
+    grid = (nb // nbt, N)
 
     consts = dict(
         h=h, diag6_stage=diag6_stage, diag6_term=diag6_term,
@@ -346,34 +367,34 @@ def riccati_sweep_sparse(
         functools.partial(_backward_kernel, **consts),
         grid=grid,
         in_specs=[
-            _stage_spec(16, True, N),  # hq (stages 0..N-1)
-            _stage_spec(NX, True, N),  # gx
-            _stage_spec(NU, True, N),  # gu
-            _stage_spec(40, True, N),  # a
-            _stage_spec(36, True, N),  # b
-            _stage_spec(NX, True, N),  # r
-            _stage_spec(NX, True, N),  # zx at s
-            _stage_spec(NX, True, N, shift=1),  # zx at s+1
-            _stage_spec(NU, True, N),  # zu
-            _stage_spec(NU, True, N),  # sig_u
-            _stage_spec(3, True, N),  # sig_x
-            _stage_spec(NU, True, N),  # corr_u
-            _stage_spec(3, True, N),  # corr_x
-            _pinned_spec(16, N),  # hq terminal
-            _pinned_spec(NX, N),  # gx terminal
-            _pinned_spec(NX, N),  # zx terminal
-            _pinned_spec(3, N),  # sig_x terminal
-            _pinned_spec(3, N),  # corr_x terminal
+            _stage_spec(16, True, N, nbt),  # hq (stages 0..N-1)
+            _stage_spec(NX, True, N, nbt),  # gx
+            _stage_spec(NU, True, N, nbt),  # gu
+            _stage_spec(40, True, N, nbt),  # a
+            _stage_spec(36, True, N, nbt),  # b
+            _stage_spec(NX, True, N, nbt),  # r
+            _stage_spec(NX, True, N, nbt),  # zx at s
+            _stage_spec(NX, True, N, nbt, shift=1),  # zx at s+1
+            _stage_spec(NU, True, N, nbt),  # zu
+            _stage_spec(NU, True, N, nbt),  # sig_u
+            _stage_spec(3, True, N, nbt),  # sig_x
+            _stage_spec(NU, True, N, nbt),  # corr_u
+            _stage_spec(3, True, N, nbt),  # corr_x
+            _pinned_spec(16, N, nbt),  # hq terminal
+            _pinned_spec(NX, N, nbt),  # gx terminal
+            _pinned_spec(NX, N, nbt),  # zx terminal
+            _pinned_spec(3, N, nbt),  # sig_x terminal
+            _pinned_spec(3, N, nbt),  # corr_x terminal
         ],
         out_specs=[
-            _stage_spec(NU * NX, True, N),
-            _stage_spec(NU, True, N),
-            _stage_spec(NX, True, N),
+            _stage_spec(NU * NX, True, N, nbt),
+            _stage_spec(NU, True, N, nbt),
+            _stage_spec(NX, True, N, nbt),
         ],
         out_shape=out_shape_b,
         scratch_shapes=[
-            pltpu.VMEM((NX * NX, SUB, LANE), dt),
-            pltpu.VMEM((NX, SUB, LANE), dt),
+            pltpu.VMEM((NX * NX, nbt, SUB, LANE), dt),
+            pltpu.VMEM((NX, nbt, SUB, LANE), dt),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -397,22 +418,22 @@ def riccati_sweep_sparse(
         functools.partial(_forward_kernel, h=h, n_stages=N, clip=clip),
         grid=grid,
         in_specs=[
-            _stage_spec(40, False, N),  # a
-            _stage_spec(36, False, N),  # b
-            _stage_spec(NX, False, N),  # rhat
-            _stage_spec(NU * NX, False, N),  # K
-            _stage_spec(NU, False, N),  # k
-            _stage_spec(NU, False, N),  # lo
-            _stage_spec(NU, False, N),  # hi
-            _pinned_spec(NX, 0),  # dx0
+            _stage_spec(40, False, N, nbt),  # a
+            _stage_spec(36, False, N, nbt),  # b
+            _stage_spec(NX, False, N, nbt),  # rhat
+            _stage_spec(NU * NX, False, N, nbt),  # K
+            _stage_spec(NU, False, N, nbt),  # k
+            _stage_spec(NU, False, N, nbt),  # lo
+            _stage_spec(NU, False, N, nbt),  # hi
+            _pinned_spec(NX, 0, nbt),  # dx0
         ],
         out_specs=[
-            _stage_spec(NX, False, N),
-            _stage_spec(NU, False, N),
-            _pinned_spec(NX, 0),
+            _stage_spec(NX, False, N, nbt),
+            _stage_spec(NU, False, N, nbt),
+            _pinned_spec(NX, 0, nbt),
         ],
         out_shape=out_shape_f,
-        scratch_shapes=[pltpu.VMEM((NX, SUB, LANE), dt)],
+        scratch_shapes=[pltpu.VMEM((NX, nbt, SUB, LANE), dt)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),

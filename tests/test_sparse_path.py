@@ -241,3 +241,35 @@ def test_bf16_jacobian_path(lin_pair):
     np.testing.assert_allclose(
         np.asarray(zu), np.asarray(zu32), atol=0.05
     )
+
+
+def test_sparse_ipm_multiblock_tiles():
+    """nb=2 exercises the nbt>1 grid tiling (multiple batch blocks per
+    Pallas grid step); parity vs the scan solver on a subset."""
+    cfg = NdpNmpcConfig()
+    N = cfg.ocp.N_node
+    B = 2 * BLOCK
+    key = jax.random.PRNGKey(11)
+    pos = jax.random.uniform(key, (B, 3), jnp.float32, -2.0, 2.0)
+    x0 = hover_state(pos)
+    xr = jnp.tile(
+        hover_state(jnp.zeros((B, 3), jnp.float32))[:, None, :], (1, N + 1, 1)
+    )
+    ur = jnp.tile(hover_input(cfg.vehicle, (B,))[:, None, :], (1, N, 1))
+    lin_s, consts, _ = make_ocp_functions_sparse(cfg.ocp, cfg.vehicle, True)
+    qs, dx0_p = lin_s(xr, ur, xr, ur, None, x0)
+    zx, zu, mu, eq, _ = ipm_sparse(
+        qs, consts, dx0_p, num_iters=3, interpret=True
+    )
+    lin_d, _ = make_ocp_functions(cfg.ocp, cfg.vehicle, True)
+    sub = 8
+    # compare a spread of scenarios across BOTH batch blocks
+    idx = np.linspace(0, B - 1, sub).astype(int)
+    f = jnp.zeros((sub, N + 1, 3), jnp.float32)
+    qd = jax.vmap(lin_d)(xr[idx], ur[idx], xr[idx], ur[idx], f)
+    sol = jax.vmap(functools.partial(solve_qp, num_iters=3))(
+        qd, x0[idx] - xr[idx, 0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpack(zu, (4,)))[idx], np.asarray(sol.du), atol=1e-4
+    )
