@@ -38,3 +38,31 @@ def test_cli_mission_with_scenario(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ok"] == [True]
     assert out["pos_rmse"][0] < 0.1
+
+
+def test_viz3d_export(tmp_path):
+    """The rviz-role HTML export: runs a short mission and emits a
+    self-contained interactive scene with valid embedded data."""
+    import json
+    import re
+    import sys
+
+    sys.argv = [
+        "viz3d", "--topology", "one_qd", "--cpu", "--track-secs", "2",
+        "--hold-ticks", "20", "--stride", "4",
+        "--out", str(tmp_path / "m.html"),
+    ]
+    import tools.viz3d as viz3d
+
+    viz3d.main()
+    html = (tmp_path / "m.html").read_text()
+    data = json.loads(
+        re.search(r"const DATA = (\{.*?\});\n", html, re.S).group(1)
+    )
+    assert len(data["drones"][0]) == 1  # one drone
+    assert len(data["drones"]) == len(data["times"]) > 10
+    assert len(data["ref"]) == 200
+    assert data["ok"] == [True]
+    script = re.search(r"<script>([\s\S]*)</script>", html).group(1)
+    for a, b in ("{}", "()"):
+        assert script.count(a) == script.count(b)
