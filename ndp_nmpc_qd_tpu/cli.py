@@ -54,6 +54,8 @@ def run_mission(args) -> dict:
 
     topology = {
         "one_qd": dict(n_drones=1),
+        # two_qd_nmpc_formation.launch: leader + one follower
+        "two_qd": dict(n_drones=2),
         "three_qd": dict(n_drones=3),
         "three_qd_ndp": dict(n_drones=3, use_ndp=True, true_downwash=True),
         # four_qd_nmpc.launch: four INDEPENDENT drones, own trajectories
@@ -146,7 +148,10 @@ def run_node(args) -> dict:
         return daemon.run(max_ticks=args.max_ticks)
     if args.node == "send":
         traj = build_eight(scale=args.scale)
-        res, fb = send_trajectory(args.ns, traj, goal_id=int(time.time()) % 10000)
+        res, fb = send_trajectory(
+            args.ns, traj, goal_id=int(time.time()) % 10000,
+            cancel_after_s=args.cancel_after,
+        )
         return {
             "status": int(res["status"]),
             "pos_rmse": float(res["pos_rmse"]),
@@ -165,7 +170,7 @@ def main(argv=None):
     )
     mission.add_argument(
         "topology",
-        choices=["one_qd", "three_qd", "three_qd_ndp", "four_qd", "swarm"],
+        choices=["one_qd", "two_qd", "three_qd", "three_qd_ndp", "four_qd", "swarm"],
     )
     mission.add_argument("--drones", type=int, default=4096, help="swarm size")
     mission.add_argument("--track-secs", type=float, default=16.0)
@@ -199,6 +204,10 @@ def main(argv=None):
         )
         p.add_argument("--max-ticks", type=int, default=0, help="0 = forever")
         p.add_argument("--scale", type=float, default=1.0)
+        p.add_argument(
+            "--cancel-after", type=float, default=None,
+            help="send: preempt the goal this many seconds in (status=2)",
+        )
         p.add_argument("--cpu", action="store_true")
         p.set_defaults(node=name)
 
@@ -207,7 +216,9 @@ def main(argv=None):
     import sys as _sys
 
     raw = argv if argv is not None else _sys.argv[1:]
-    if raw and raw[0] in ("one_qd", "three_qd", "three_qd_ndp", "four_qd", "swarm"):
+    if raw and raw[0] in (
+        "one_qd", "two_qd", "three_qd", "three_qd_ndp", "four_qd", "swarm"
+    ):
         raw = ["mission"] + list(raw)
     args = ap.parse_args(raw)
 

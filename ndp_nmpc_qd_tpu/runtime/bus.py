@@ -90,6 +90,21 @@ TRACK_RESULT = np.dtype(
 
 POINT = np.dtype([("t", "f8"), ("xyz", "f8", 3)])
 
+# preemption request for the TrackTraj protocol (the actionlib cancel
+# channel; the reference checks is_preempt_requested each loop,
+# `nmpc_node.py:165-168`). goal_id = -1 cancels whatever is active.
+TRAJ_CANCEL = np.dtype([("t", "f8"), ("goal_id", "i4"), ("_pad", "i4")])
+
+# pose broadcast (the tf2 TransformBroadcaster role in `nmpc_node.py`):
+# the controller's current vehicle pose for external viz/consumers.
+POSE = np.dtype([("t", "f8"), ("pos", "f8", 3), ("quat", "f8", 4)])
+
+# follower formation-error feedback (`nmpc_follower_node.py:79-94` logs the
+# running formation RMSE online; here it is a first-class topic record).
+FORM_ERROR = np.dtype(
+    [("t", "f8"), ("err2", "f8"), ("rmse", "f8"), ("n", "i8")]
+)
+
 
 _LIB = None
 

@@ -40,15 +40,19 @@ class NodeTopics:
         self.ref_x_u = qb.Topic(f"{self.ns}/ref_x_u", qb.PRED_XU)
         self.viz_pred = qb.Topic(f"{self.ns}/viz_pred", qb.PRED_XU)
         self.goal = qb.Topic(f"{self.ns}/traj_goal", qb.TRAJ_COEFF)
+        self.cancel = qb.Topic(f"{self.ns}/traj_cancel", qb.TRAJ_CANCEL)
         self.feedback = qb.Topic(f"{self.ns}/traj_feedback", qb.TRACK_FEEDBACK)
         self.result = qb.Topic(f"{self.ns}/traj_result", qb.TRACK_RESULT)
         self.formation_ref = qb.Topic(f"{self.ns}/formation_ref", qb.POINT)
+        self.formation_err = qb.Topic(f"{self.ns}/formation_err", qb.FORM_ERROR)
+        self.pose = qb.Topic(f"{self.ns}/pose", qb.POSE)
 
     @staticmethod
     def unlink(ns: str):
         for t in (
             "odom", "attitude_target", "ref_x_u", "viz_pred", "traj_goal",
-            "traj_feedback", "traj_result", "formation_ref",
+            "traj_cancel", "traj_feedback", "traj_result", "formation_ref",
+            "formation_err", "pose",
         ):
             qb.Topic.unlink(f"{ns}/{t}")
 
@@ -106,9 +110,15 @@ class ControllerDaemon:
         self.ctl = make_rti_controller(ocp, veh, with_disturbance=True)
         self._update = jax.jit(self.ctl.update)
         self._gen_fix = jax.jit(lambda x: gen_fix_pt_ref(x, ocp, veh))
-        self._nmpc_refs = None  # jitted per-trajectory (segment count static)
+        # ONE reference function for every trajectory: goals are padded to
+        # MAX_SEG segments (static shapes), so this compiles once at daemon
+        # startup instead of stalling on a per-goal jit — the analog of the
+        # reference's prebuilt-solver path (is_build_acados=False,
+        # `nmpc_leader_node.py:28`).
+        self._refs_jit = jax.jit(lambda tr, tt: nmpc_refs(tr, tt, ocp, veh))
+        self._traj_arrays = None
         self._jnp = jnp
-        self._nmpc_refs_fn = nmpc_refs
+        self.goal_to_first_cmd_s = None  # measured per goal (AOT check)
         self._hv_init = lambda: hover_throttle_init(
             self.cfg.estimator, dtype=jnp.float64
         )
@@ -144,11 +154,70 @@ class ControllerDaemon:
                 )
             )
 
+    def _pad_traj(self, traj):
+        """Pad a PiecewisePoly to MAX_SEG segments (zero coefficients,
+        zero-length tail segments, t_cum repeating the true end time) so the
+        startup-compiled reference function serves every goal."""
+        import jax.numpy as jnp
+
+        m = traj.t_seg.shape[0]
+        pad = qb.MAX_SEG - m
+        if pad < 0:
+            raise ValueError(f"trajectory has {m} > MAX_SEG segments")
+        if pad == 0:
+            return traj
+        t_all = traj.t_cum[-1]
+        return type(traj)(
+            coeff_xyz=jnp.pad(traj.coeff_xyz, ((0, pad), (0, 0), (0, 0))),
+            coeff_yaw=jnp.pad(traj.coeff_yaw, ((0, pad), (0, 0))),
+            t_seg=jnp.pad(traj.t_seg, (0, pad)),
+            t_cum=jnp.pad(traj.t_cum, (0, pad), constant_values=t_all),
+            final_pt=traj.final_pt,
+        )
+
+    def _refs_at(self, tt: float):
+        import jax.numpy as jnp
+
+        return self._refs_jit(self._traj_arrays, jnp.asarray(float(tt)))
+
+    def _warmup(self):
+        """AOT-compile every jitted function on its static shapes so the
+        control loop and goal intake never hit a compile stall (cold Pallas/
+        XLA compiles were measured in minutes on TPU — BENCH_r01)."""
+        import jax
+        import jax.numpy as jnp
+
+        ocp, veh = self.cfg.ocp, self.cfg.vehicle
+        N = ocp.N_node
+        x = jnp.zeros(10).at[6].set(1.0)
+        xr, ur = self._gen_fix(x)
+        state = self.ctl.reset(xr, ur)
+        f = jnp.zeros((N + 1, 3))
+        u0, _, _ = self._update(state, x, xr, ur, f)
+        est = self._hv_init()
+        est, _ = self._hv_update(est, jnp.asarray(0.0), jnp.asarray(0.5))
+        # dummy padded goal -> reference-function compile
+        from ..traj.polyopt import fit_waypoints
+
+        import numpy as _np
+
+        wpts = _np.stack([_np.linspace(0, 1, 3), _np.zeros(3), _np.ones(3)], -1)
+        dummy = self._pad_traj(fit_waypoints(wpts, _np.full(2, 2.0)))
+        saved = self._traj_arrays
+        self._traj_arrays = dummy
+        xr2, _ = self._refs_at(0.0)
+        if self.companion_ref is not None:
+            self._predict(jnp.asarray(_np.zeros((N + 1, 10))), xr2, x[0:3])
+        self._traj_arrays = saved
+        jax.block_until_ready(u0)
+
     def run(self, max_ticks: int = 0, ready_event=None):
         import jax.numpy as jnp
 
         ocp, veh = self.cfg.ocp, self.cfg.vehicle
         N = ocp.N_node
+
+        self._warmup()
 
         # wait for first odometry (the FC-connection gate, nmpc_node.py:77-80)
         while True:
@@ -168,10 +237,24 @@ class ControllerDaemon:
         traj_t0 = 0.0
         goal_id = -1
         goal_seq_seen = self.t.goal.count
+        cancel_seq_seen = self.t.cancel.count
         err2 = np.zeros(2)
         n_err = 0
+        form_err2 = 0.0
+        n_form = 0
         last_thrust = 0.0
         f_dist = jnp.zeros((N + 1, 3))
+
+        def publish_result(status: int):
+            """TrackTraj result record (status 1 = succeeded, 2 = preempted,
+            `action/TrackTraj.action:1-11`) with the RMSE accumulated so far."""
+            res = np.zeros((), qb.TRACK_RESULT)
+            res["goal_id"] = goal_id
+            res["status"] = status
+            res["pos_rmse"] = np.sqrt(err2[0] / max(n_err, 1))
+            res["yaw_rmse"] = np.sqrt(err2[1] / max(n_err, 1))
+            res["t"] = qb.now()
+            self.t.result.publish(res)
 
         rate = qb.Rate(ocp.ts_nmpc)
         if ready_event is not None:
@@ -184,44 +267,54 @@ class ControllerDaemon:
             seq, odom = self.t.odom.read_latest()
             x_now = _odom_to_x(odom)
 
-            # --- goal intake (the action server role) ---
+            # --- preempt check (the actionlib cancel channel; the reference
+            # checks is_preempt_requested every loop and publishes
+            # set_preempted, `nmpc_node.py:165-168`). On preempt the
+            # references stop advancing — the controller converges to the
+            # last published horizon, exactly the reference's frozen-ref
+            # behavior — and the estimator timer restarts. ---
+            if self.t.cancel.count > cancel_seq_seen:
+                cancel_seq_seen = self.t.cancel.count
+                _, cmsg = self.t.cancel.read_latest()
+                cancel_id = int(cmsg["goal_id"])
+                if traj is not None and cancel_id in (-1, goal_id):
+                    publish_result(2)
+                    traj = None
+                    est_active = True
+
+            # --- goal intake (the action server role). A new goal while one
+            # is active SUPERSEDES it: the old goal gets a status=2 result
+            # (actionlib's preempt-on-new-goal semantics). ---
             if self.t.goal.count > goal_seq_seen:
                 goal_seq_seen = self.t.goal.count
                 _, gmsg = self.t.goal.read_latest()
+                if traj is not None:
+                    publish_result(2)
                 traj = qb.msg_to_traj(gmsg)
                 goal_id = int(gmsg["goal_id"])
                 err2[:] = 0.0
                 n_err = 0
                 est_active = False  # estimator frozen while tracking
-                import jax
-
-                self._nmpc_refs = jax.jit(
-                    lambda tt: self._nmpc_refs_fn(traj, tt, ocp, veh)
-                )
                 # reset the controller from the new reference (anti warm
-                # start) — this call also pays the per-trajectory jit compile,
-                # so start the mission clock only AFTER it returns (the
-                # reference likewise builds its solver before flying)
-                xr, ur = self._nmpc_refs(jnp.asarray(0.0))
-                import jax as _j
-
-                _j.block_until_ready(xr)
+                # start). The per-trajectory reference function was AOT
+                # compiled at daemon startup for the padded MAX_SEG shape, so
+                # no jit stall happens here; the mission clock starts
+                # immediately (the reference's is_build_acados=False prebuilt
+                # path, `nmpc_leader_node.py:28`).
+                goal_rx_t = qb.now()
+                self._traj_arrays = self._pad_traj(traj)
+                xr, ur = self._refs_at(0.0)
                 state = self.ctl.reset(xr, ur)
                 traj_t0 = qb.now()
+                self.goal_to_first_cmd_s = -goal_rx_t  # completed post-publish
 
             # --- reference selection ---
             if traj is not None:
                 tt = qb.now() - traj_t0
                 t_all = float(traj.t_cum[-1])
-                xr, ur = self._nmpc_refs(jnp.asarray(tt))
+                xr, ur = self._refs_at(tt)
                 if tt >= t_all:  # finished: result + back to hold
-                    res = np.zeros((), qb.TRACK_RESULT)
-                    res["goal_id"] = goal_id
-                    res["status"] = 1
-                    res["pos_rmse"] = np.sqrt(err2[0] / max(n_err, 1))
-                    res["yaw_rmse"] = np.sqrt(err2[1] / max(n_err, 1))
-                    res["t"] = qb.now()
-                    self.t.result.publish(res)
+                    publish_result(1)
                     traj = None
                     est_active = True
             elif self.leader_ref is not None:
@@ -238,6 +331,20 @@ class ControllerDaemon:
                         jnp.asarray(lpf_off)
                     )
                     ur = jnp.asarray(lmsg["u"])
+                    # online formation-error feedback: the running RMSE of
+                    # actual position vs the offset reference's first node
+                    # (`nmpc_follower_node.py:79-94` logs exactly this)
+                    fe2 = float(
+                        np.sum((lmsg["x"][0, 0:3] + lpf_off - x_now[0:3]) ** 2)
+                    )
+                    form_err2 += fe2
+                    n_form += 1
+                    fm = np.zeros((), qb.FORM_ERROR)
+                    fm["t"] = qb.now()
+                    fm["err2"] = fe2
+                    fm["rmse"] = np.sqrt(form_err2 / n_form)
+                    fm["n"] = n_form
+                    self.t.formation_err.publish(fm)
 
             # --- NDP disturbance forecast from the companion's horizon ---
             if self.companion_ref is not None:
@@ -265,6 +372,9 @@ class ControllerDaemon:
             att["type_mask"] = 128  # IGNORE_ATTITUDE
             self.t.att.publish(att)
             last_thrust = thrust
+            if self.goal_to_first_cmd_s is not None and self.goal_to_first_cmd_s < 0:
+                # first command after a goal: close the latency measurement
+                self.goal_to_first_cmd_s += qb.now()
 
             pred = np.zeros((), qb.PRED_XU)
             pred["t"] = qb.now()
@@ -286,6 +396,15 @@ class ControllerDaemon:
                 viz["x"] = xb
                 viz["u"] = np.asarray(state.u_bar)
                 self.t.viz_pred.publish(viz)
+
+                # pose broadcast: the tf2 TransformBroadcaster role
+                # (`nmpc_node.py` broadcasts the vehicle frame alongside
+                # viz_pred) — the current odom pose for external consumers
+                ps = np.zeros((), qb.POSE)
+                ps["t"] = qb.now()
+                ps["pos"] = x_now[0:3]
+                ps["quat"] = x_now[6:10]
+                self.t.pose.publish(ps)
 
             # --- estimator tick (gated like the reference timer) ---
             if est_active:
@@ -317,7 +436,11 @@ class ControllerDaemon:
                 fb["yaw_error"] = ye
                 self.t.feedback.publish(fb)
 
-        return dict(ticks=rate.ticks, overruns=rate.overruns)
+        return dict(
+            ticks=rate.ticks,
+            overruns=rate.overruns,
+            goal_to_first_cmd_s=self.goal_to_first_cmd_s,
+        )
 
 
 class PlantDaemon:
@@ -374,15 +497,33 @@ class PlantDaemon:
         return dict(ticks=rate.ticks, overruns=rate.overruns)
 
 
-def send_trajectory(ns: str, traj, goal_id: int = 1, timeout_s: float = 60.0):
+def send_trajectory(
+    ns: str,
+    traj,
+    goal_id: int = 1,
+    timeout_s: float = 60.0,
+    cancel_after_s: float | None = None,
+):
     """cmd_pc action-client role: send a goal, stream feedback, return the
-    result record (blocks until the controller reports done or timeout)."""
+    result record (blocks until the controller reports done or timeout).
+
+    `cancel_after_s` requests preemption that long after the goal is sent
+    (the actionlib cancel path) — the returned result then carries status=2.
+    """
     topics = NodeTopics(ns)
     topics.goal.publish(qb.traj_to_msg(traj, goal_id))
     t0 = qb.now()
     result_count0 = topics.result.count
     feedback = []
+    cancelled = False
     while qb.now() - t0 < timeout_s:
+        if (
+            cancel_after_s is not None
+            and not cancelled
+            and qb.now() - t0 >= cancel_after_s
+        ):
+            cancel_trajectory(ns, goal_id)
+            cancelled = True
         if topics.result.count > result_count0:
             _, res = topics.result.read_latest()
             if int(res["goal_id"]) == goal_id:
@@ -392,3 +533,12 @@ def send_trajectory(ns: str, traj, goal_id: int = 1, timeout_s: float = 60.0):
             feedback.append(fb.copy())
         time.sleep(0.05)
     raise TimeoutError(f"no result from {ns} within {timeout_s}s")
+
+
+def cancel_trajectory(ns: str, goal_id: int = -1) -> None:
+    """Publish a TrackTraj preempt request (goal_id = -1 cancels whatever
+    goal is active) — `set_preempted` semantics, `nmpc_node.py:165-168`."""
+    m = np.zeros((), qb.TRAJ_CANCEL)
+    m["t"] = qb.now()
+    m["goal_id"] = goal_id
+    qb.Topic(f"{ns}/traj_cancel", qb.TRAJ_CANCEL).publish(m)

@@ -181,7 +181,10 @@ def eval_traj(traj: PiecewisePoly, t: jnp.ndarray) -> FlatOutputs:
     idx = jnp.clip(
         jnp.searchsorted(traj.t_cum, t_q, side="right") - 1, 0, traj.t_seg.shape[0] - 1
     )
-    ts = traj.t_seg[idx]  # (...,)
+    # zero-length segments only occur as MAX_SEG padding past the real end
+    # (runtime/bus.py static-shape goals); any query landing there has
+    # finished=True and is overridden below — guard the division anyway
+    ts = jnp.where(traj.t_seg[idx] > 0, traj.t_seg[idx], 1.0)  # (...,)
     tau = (t_q - traj.t_cum[idx]) / ts
 
     cxyz = traj.coeff_xyz[idx]  # (..., 8, 3)

@@ -144,7 +144,8 @@ def test_ndp_leader_over_bus(ns):
     plant = PlantDaemon(ns)
     ctl = ControllerDaemon(ns, use_ndp=True, companion_ns=comp_ns)
     pr, cr = threading.Event(), threading.Event()
-    tp = threading.Thread(target=plant.run, kwargs=dict(max_ticks=1200, ready_event=pr))
+    # plant outlives the controller's startup warmup (AOT compiles) + mission
+    tp = threading.Thread(target=plant.run, kwargs=dict(max_ticks=4000, ready_event=pr))
     tc = threading.Thread(target=ctl.run, kwargs=dict(max_ticks=250, ready_event=cr))
     tp.start()
     pr.wait(10)
@@ -178,9 +179,9 @@ def test_live_mission_plant_and_controller(ns):
 
     plant_ready = threading.Event()
     ctl_ready = threading.Event()
-    # ~14 s of plant time at 200 Hz; controller 50 Hz
+    # plant outlives controller warmup + the ~8 s mission (200 Hz vs 50 Hz)
     t_plant = threading.Thread(
-        target=plant.run, kwargs=dict(max_ticks=2800, ready_event=plant_ready)
+        target=plant.run, kwargs=dict(max_ticks=4400, ready_event=plant_ready)
     )
     t_ctl = threading.Thread(
         target=ctl.run, kwargs=dict(max_ticks=700, ready_event=ctl_ready)
@@ -201,3 +202,142 @@ def test_live_mission_plant_and_controller(ns):
     assert int(res["status"]) == 1
     assert float(res["pos_rmse"]) < 0.25, float(res["pos_rmse"])
     assert len(feedback) > 3
+    # the tf2-role pose broadcast ran alongside viz_pred
+    pseq, pose = ctl.t.pose.read_latest()
+    assert pseq > 0
+    assert np.isfinite(pose["pos"]).all() and np.isfinite(pose["quat"]).all()
+
+
+def test_preempt_mid_flight_then_resume(ns):
+    """TrackTraj preemption (`nmpc_node.py:165-168`): cancel a goal
+    mid-flight -> status=2 result with partial RMSE; the daemon returns to
+    hold and accepts + completes a follow-up goal (status=1). Also checks the
+    AOT-compiled goal intake: goal-to-first-command latency far under the
+    per-goal jit stall it replaces."""
+    from ndp_nmpc_qd_tpu.runtime.nodes import (
+        ControllerDaemon,
+        PlantDaemon,
+        send_trajectory,
+    )
+    from ndp_nmpc_qd_tpu.traj.polyopt import fit_waypoints
+
+    plant = PlantDaemon(ns)
+    ctl = ControllerDaemon(ns)
+    pr, cr = threading.Event(), threading.Event()
+    t_plant = threading.Thread(
+        target=plant.run, kwargs=dict(max_ticks=4400, ready_event=pr)
+    )
+    t_ctl = threading.Thread(
+        target=ctl.run, kwargs=dict(max_ticks=1100, ready_event=cr)
+    )
+    t_plant.start()
+    pr.wait(10)
+    t_ctl.start()
+    cr.wait(60)
+
+    wpts = np.stack(
+        [[0, 0.5, 1.0, 0.5, 0.0], [0, 0.5, 0, -0.5, 0], np.ones(5)], axis=-1
+    )
+    traj = fit_waypoints(wpts, np.full(4, 2.0))  # 8 s mission
+    res, feedback = send_trajectory(
+        ns, traj, goal_id=11, timeout_s=30, cancel_after_s=2.0
+    )
+    assert int(res["status"]) == 2, res  # preempted
+    assert len(feedback) >= 1
+    assert np.isfinite(res["pos_rmse"])  # partial-RMSE result
+
+    # daemon recovered to hold: a fresh goal completes normally
+    short = fit_waypoints(wpts[:3], np.full(2, 2.0))
+    res2, _ = send_trajectory(ns, short, goal_id=12, timeout_s=30)
+    assert int(res2["status"]) == 1, res2
+    assert float(res2["pos_rmse"]) < 0.3
+
+    t_ctl.join(30)
+    t_plant.join(30)
+    lat = ctl.goal_to_first_cmd_s
+    assert lat is not None and lat < 0.5, lat  # no per-goal compile stall
+
+
+def test_new_goal_supersedes_active(ns):
+    """A new goal while one is active preempts it: the OLD goal gets a
+    status=2 result before the new goal starts (actionlib semantics)."""
+    from ndp_nmpc_qd_tpu.runtime.nodes import ControllerDaemon, PlantDaemon
+    from ndp_nmpc_qd_tpu.traj.polyopt import fit_waypoints
+
+    plant = PlantDaemon(ns)
+    ctl = ControllerDaemon(ns)
+    pr, cr = threading.Event(), threading.Event()
+    t_plant = threading.Thread(
+        target=plant.run, kwargs=dict(max_ticks=3200, ready_event=pr)
+    )
+    t_ctl = threading.Thread(
+        target=ctl.run, kwargs=dict(max_ticks=800, ready_event=cr)
+    )
+    t_plant.start()
+    pr.wait(10)
+    t_ctl.start()
+    cr.wait(60)
+
+    wpts = np.stack([[0, 0.5, 1.0], [0, 0.5, 0], np.ones(3)], axis=-1)
+    long_traj = fit_waypoints(wpts, np.full(2, 4.0))  # 8 s
+    short_traj = fit_waypoints(wpts, np.full(2, 2.0))  # 4 s
+
+    topics = ctl.t
+    topics.goal.publish(qb.traj_to_msg(long_traj, goal_id=21))
+    time.sleep(1.5)
+    topics.goal.publish(qb.traj_to_msg(short_traj, goal_id=22))
+
+    results = {}
+    t_end = time.time() + 20
+    while time.time() < t_end and len(results) < 2:
+        seq, res = topics.result.read_latest()
+        if seq > 0:
+            results[int(res["goal_id"])] = int(res["status"])
+        time.sleep(0.02)
+    t_ctl.join(30)
+    t_plant.join(30)
+    assert results.get(21) == 2, results  # superseded -> preempted
+    assert results.get(22) == 1, results  # new goal completed
+
+
+def test_follower_formation_feedback(ns):
+    """A follower publishes its online formation-error RMSE
+    (`nmpc_follower_node.py:79-94`) on the formation_err topic."""
+    from ndp_nmpc_qd_tpu.runtime.nodes import ControllerDaemon, PlantDaemon
+
+    leader_ns = ns + "_lead"
+    # fake leader horizon: hover at (0, 0, 1)
+    lead_ref = qb.Topic(f"{leader_ns}/ref_x_u", qb.PRED_XU)
+    m = np.zeros((), qb.PRED_XU)
+    m["x"][:, 2] = 1.0
+    m["x"][:, 6] = 1.0
+    lead_ref.publish(m)
+
+    plant = PlantDaemon(ns)
+    follower = ControllerDaemon(ns, leader_ns=leader_ns)
+    off = np.zeros((), qb.POINT)
+    off["xyz"] = [0.0, 1.0, 0.0]
+    follower.t.formation_ref.publish(off)
+
+    pr, cr = threading.Event(), threading.Event()
+    # plant outlives the follower's startup warmup + 7 s of following
+    t_plant = threading.Thread(
+        target=plant.run, kwargs=dict(max_ticks=4000, ready_event=pr)
+    )
+    t_ctl = threading.Thread(
+        target=follower.run, kwargs=dict(max_ticks=350, ready_event=cr)
+    )
+    t_plant.start()
+    pr.wait(10)
+    t_ctl.start()
+    cr.wait(60)
+    t_ctl.join(60)
+    t_plant.join(60)
+
+    fseq, fm = follower.t.formation_err.read_latest()
+    assert fseq > 0, "no formation feedback published"
+    assert int(fm["n"]) > 100
+    # converged near the offset target: running RMSE dominated by the initial
+    # transient but the instantaneous error must have shrunk
+    assert float(fm["err2"]) < 0.5, fm
+    qb.Topic.unlink(f"{leader_ns}/ref_x_u")
