@@ -60,7 +60,7 @@ def make_sharded_swarm_step(cfg, ctl, mesh: Mesh, downwash_params=None):
       rti_state: (S, D, ...), x0: (S, D, 10), leader_xr: (S, N+1, 10),
       leader_ur: (S, N, 4), offsets: (S, D, 3).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..models.downwash_mlp import mlp_forward
     from ..sim.downwash_truth import analytic_downwash
@@ -111,6 +111,6 @@ def make_sharded_swarm_step(cfg, ctl, mesh: Mesh, downwash_params=None):
         mesh=mesh,
         in_specs=(spec_state, spec_state, spec_lead, spec_lead, spec_state),
         out_specs=(spec_state, spec_state, P("data")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)

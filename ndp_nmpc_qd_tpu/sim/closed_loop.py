@@ -49,7 +49,7 @@ from ..swarm.formation import (
 )
 from ..traj.polyopt import PiecewisePoly, eval_traj
 from ..traj.refgen import gen_fix_pt_ref, nmpc_refs
-from .downwash_truth import pairwise_downwash
+from .downwash_truth import downwash_on_locals
 from .plant import PlantState, plant_init, plant_step
 
 
@@ -93,6 +93,8 @@ def make_episode(
     solver_backend: str = "auto",
     solver_warm_start: bool = False,
     solver_jac_bf16: bool = False,
+    swarm_axis_name: str | None = None,
+    swarm_shards: int = 1,
 ):
     """Build (init_fn, step_fn, run_fn) for a swarm episode.
 
@@ -111,6 +113,18 @@ def make_episode(
     (`nmpc_node.py:146` shuts the estimator timer down on goal receipt and
     restarts it when tracking finishes, :196). Tracking RMSE accumulates only
     during the tracking phase, like `cum_error` in the action loop.
+
+    `swarm_axis_name` + `swarm_shards` run THIS full episode under
+    `shard_map` with the drone axis split over a mesh axis: `step_fn` then
+    operates on the local drone block (D/swarm_shards drones) and every
+    cross-drone dependency — the leader's state and previously published
+    horizon (the PredXU pub/sub hop, `nmpc_node.py:116-133`), the NDP
+    companion horizon (`ndp_nmpc_leader_node.py:60-76`), and the plant-side
+    wake coupling — goes through an `all_gather` along that axis. With
+    `swarm_axis_name=None` (default) the gathers are identity and the
+    program is the single-device episode. `init_fn` always builds the
+    GLOBAL-drone state; sharding is applied by placement
+    (`parallel.episode.make_sharded_episode`).
     """
     ocp, veh, est_p, dw = cfg.ocp, cfg.vehicle, cfg.estimator, cfg.downwash
     # batched controller: Pallas packed path once the drone batch is big
@@ -132,6 +146,29 @@ def make_episode(
         formation_fn = partial(reference_formation_offsets, n_drones=n_drones)
     alpha_tick = rate_converted_alpha(0.8, 0.05, ocp.ts_nmpc)
     D, N = n_drones, ocp.N_node
+    assert D % swarm_shards == 0, (D, swarm_shards)
+    Dl = D // swarm_shards  # local drones per shard (== D unsharded)
+
+    def gall(a):
+        """Gather the drone axis across swarm shards (identity unsharded) —
+        the collective form of the PredXU topic hop."""
+        if swarm_axis_name is None:
+            return a
+        return jax.lax.all_gather(a, swarm_axis_name, axis=0, tiled=True)
+
+    def global_drone_idx(dtype=jnp.int32):
+        """Global drone indices of the local block."""
+        if swarm_axis_name is None:
+            return jnp.arange(D, dtype=dtype)
+        i0 = jax.lax.axis_index(swarm_axis_name) * Dl
+        return i0 + jnp.arange(Dl, dtype=dtype)
+
+    def local_slice(a):
+        """This shard's drone rows of a global (D, ...) array."""
+        if swarm_axis_name is None:
+            return a
+        i0 = jax.lax.axis_index(swarm_axis_name) * Dl
+        return jax.lax.dynamic_slice_in_dim(a, i0, Dl, axis=0)
 
     def init_fn(dtype=jnp.float32) -> EpisodeState:
         fo0 = eval_traj(traj, jnp.zeros((), dtype))
@@ -166,42 +203,49 @@ def make_episode(
         t_all = traj.t_cum[-1].astype(dtype)
         finished = jnp.logical_and(jnp.logical_not(in_hold), t >= t_all)
 
+        gidx = global_drone_idx()  # (Dl,) global indices of local drones
+        is_leader = gidx == 0
+        x_all = gall(st.plant.x)  # (D, 10) every drone's current state
+
         # 1. leader reference: hold-point during calibration, else trajectory
         xr_T, ur_T = nmpc_refs(traj, t, ocp, veh)
-        xr_L = jnp.where(in_hold, st.hold_xr[0], xr_T.astype(dtype))
-        ur_L = jnp.where(in_hold, st.hold_ur[0], ur_T.astype(dtype))
+        xr_L = jnp.where(in_hold, gall(st.hold_xr)[0], xr_T.astype(dtype))
+        ur_L = jnp.where(in_hold, gall(st.hold_ur)[0], ur_T.astype(dtype))
 
         if independent:
             # four_qd: every drone tracks its own offset copy of the
             # trajectory — no exchange, no filtering
             lpf = st.lpf_offset
-            xr = jnp.broadcast_to(xr_L[None], (D,) + xr_L.shape).at[
+            xr = jnp.broadcast_to(xr_L[None], (Dl,) + xr_L.shape).at[
                 ..., 0:3
             ].add(lpf[:, None, :])
-            ur = jnp.broadcast_to(ur_L[None], (D,) + ur_L.shape)
+            ur = jnp.broadcast_to(ur_L[None], (Dl,) + ur_L.shape)
         else:
             # 2. follower references from the leader's PREVIOUS horizon
-            raw_off = formation_fn(st.plant.x[0]).astype(dtype)
+            # (one-tick-delayed PredXU exchange, `nmpc_node.py:160-162`)
+            raw_off = local_slice(formation_fn(x_all[0]).astype(dtype))
             lpf = alpha_tick * st.lpf_offset + (1 - alpha_tick) * raw_off
-            xr_F, ur_F = offset_references(
-                st.prev_ref_x[0], st.prev_ref_u[0], lpf
-            )
-            xr = jnp.concatenate([xr_L[None], xr_F[1:]], axis=0)  # (D, N+1, 10)
-            ur = jnp.concatenate([ur_L[None], ur_F[1:]], axis=0)
+            prev_x_all = gall(st.prev_ref_x)  # (D, N+1, 10)
+            prev_u_all = gall(st.prev_ref_u)
+            xr_F, ur_F = offset_references(prev_x_all[0], prev_u_all[0], lpf)
+            xr = jnp.where(is_leader[:, None, None], xr_L[None], xr_F)
+            ur = jnp.where(is_leader[:, None, None], ur_L[None], ur_F)
 
         # 3. NDP disturbance forecast (leader only, from drone 1's horizon)
-        f_dist = jnp.zeros((D, N + 1, 3), dtype)
+        f_dist = jnp.zeros((Dl, N + 1, 3), dtype)
         if use_ndp and D > 1 and not independent:
             f_leader = predict_downwash(
                 downwash_params,
-                st.prev_ref_x[1],
+                prev_x_all[1],
                 xr_L,
                 r_horiz=dw.r_horiz,
-                ego_gate_pos=st.plant.x[0, 0:3],
+                ego_gate_pos=x_all[0, 0:3],
             )
-            f_dist = f_dist.at[0].set(f_leader.astype(dtype))
+            f_dist = jnp.where(
+                is_leader[:, None, None], f_leader[None].astype(dtype), f_dist
+            )
 
-        # 4. one RTI solve per drone (batched controller)
+        # 4. one RTI solve per local drone (batched controller)
         x0 = st.plant.x
         u0, rti, info = ctl.update(st.rti, x0, xr, ur, f_dist)
 
@@ -217,24 +261,25 @@ def make_episode(
             lambda new, old: jnp.where(est_active, new, old), est_new, st.est
         )
 
-        # 6. plant step with ground-truth coupling
+        # 6. plant step with ground-truth coupling (forces on local drones
+        #    from ALL drones' gathered states)
         if true_downwash and D > 1:
-            f_ext = pairwise_downwash(st.plant.x)
+            f_ext = downwash_on_locals(st.plant.x, x_all, gidx)
         else:
-            f_ext = jnp.zeros((D, 3), dtype)
+            f_ext = jnp.zeros((Dl, 3), dtype)
         plant = plant_step(
             st.plant, u0[:, 0:3], throttle, f_ext, ocp.ts_nmpc, veh, cfg.sim
         )
 
         # 7. metrics: leader vs trajectory, followers vs formation target
         fo_t = eval_traj(traj, t)
-        pos_tgt = jnp.concatenate(
-            [fo_t.pos[None].astype(dtype), xr[1:, 0, 0:3]], axis=0
+        pos_tgt = jnp.where(
+            is_leader[:, None], fo_t.pos[None].astype(dtype), xr[:, 0, 0:3]
         )
         pos_e2 = jnp.sum((pos_tgt - st.plant.x[:, 0:3]) ** 2, axis=-1)
         yaw_now = quat.yaw(st.plant.x[:, 6:10])
-        yaw_tgt = jnp.concatenate(
-            [fo_t.yaw[None].astype(dtype), quat.yaw(xr[1:, 0, 6:10])]
+        yaw_tgt = jnp.where(
+            is_leader, fo_t.yaw.astype(dtype), quat.yaw(xr[:, 0, 6:10])
         )
         yaw_e2 = jnp.degrees(yaw_tgt - yaw_now) ** 2
         form_e2 = jnp.sum((xr[:, 0, 0:3] - st.plant.x[:, 0:3]) ** 2, axis=-1)

@@ -47,10 +47,29 @@ def pairwise_downwash(xs: jnp.ndarray, model=analytic_downwash) -> jnp.ndarray:
     xs: (..., D, 10) plant states -> (..., D, 3) forces.
     """
     D = xs.shape[-2]
-    ego = xs[..., :, None, 0:6]  # (..., D, 1, 6)
-    other = xs[..., None, :, 0:6]  # (..., 1, D, 6)
-    rel = other - ego  # (..., D, D, 6) [i=ego, j=other]
-    f = model(rel)  # (..., D, D, 3)
-    eye = jnp.eye(D, dtype=bool)
-    f = jnp.where(eye[..., None], 0.0, f)
+    idx = jnp.arange(D)
+    return downwash_on_locals(xs, xs, idx, model=model)
+
+
+def downwash_on_locals(
+    x_local: jnp.ndarray,
+    x_all: jnp.ndarray,
+    local_gidx: jnp.ndarray,
+    model=analytic_downwash,
+) -> jnp.ndarray:
+    """Total external force on a LOCAL block of drones from ALL drones.
+
+    The sharded form of `pairwise_downwash`: x_local (..., Dl, 10) is this
+    shard's drones, x_all (..., D, 10) the all_gathered swarm, local_gidx
+    (Dl,) the local drones' global indices (masks self-interaction).
+    Unsharded (x_local = x_all, gidx = arange) this reduces to the dense
+    (D, D) pairwise sum.
+    """
+    ego = x_local[..., :, None, 0:6]  # (..., Dl, 1, 6)
+    other = x_all[..., None, :, 0:6]  # (..., 1, D, 6)
+    rel = other - ego  # (..., Dl, D, 6) [i=ego, j=other]
+    f = model(rel)  # (..., Dl, D, 3)
+    D = x_all.shape[-2]
+    self_mask = local_gidx[:, None] == jnp.arange(D)[None, :]  # (Dl, D)
+    f = jnp.where(self_mask[..., None], 0.0, f)
     return jnp.sum(f, axis=-2)
