@@ -75,6 +75,33 @@ def sparse_defect(p: SparseQp, consts: SparseQpConsts, zx, zu):
     return jnp.concatenate([out_p, out_v, out_q], axis=1) + p.r - zx[1:]
 
 
+def sparse_rollout_zero_u(p: SparseQp, consts: SparseQpConsts, dx0_p):
+    """Zero-control rollout in packed layout: zx[0] = dx0, zx[k+1] =
+    A_k zx[k] + r_k. The far-regime feasible start (see qp_ipm.solve_qp):
+    dynamics-exact and strictly interior in the control box.
+
+    dx0_p: (1, 10, tail) -> (N+1, 10, tail).
+    """
+    N = p.r.shape[0]
+    tail = p.r.shape[2:]
+    h = consts.h
+    apq = p.a[:, 0:12].reshape((N, 3, 4) + tail)
+    avq = p.a[:, 12:24].reshape((N, 3, 4) + tail)
+    aqq = p.a[:, 24:40].reshape((N, 4, 4) + tail)
+
+    def roll(dx, inp):
+        apq_k, avq_k, aqq_k, r_k = inp
+        zq = dx[6:10]
+        out_p = dx[0:3] + h * dx[3:6] + jnp.sum(apq_k * zq[None], axis=1)
+        out_v = dx[3:6] + jnp.sum(avq_k * zq[None], axis=1)
+        out_q = jnp.sum(aqq_k * zq[None], axis=1)
+        nxt = jnp.concatenate([out_p, out_v, out_q], axis=0) + r_k
+        return nxt, nxt
+
+    _, z_tail = jax.lax.scan(roll, dx0_p[0], (apq, avq, aqq, p.r))
+    return jnp.concatenate([dx0_p, z_tail], axis=0)
+
+
 def ipm_sparse(
     p: SparseQp,
     consts: SparseQpConsts,
@@ -130,16 +157,18 @@ def ipm_sparse(
         zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
         clip_lo=p.lu + margin, clip_hi=p.uu - margin,
     )
-    # NOTE on the far regime (studied 2026-08-18): the rollout clips only
-    # controls, so single-step initial offsets beyond ~18 m leave the
-    # planned velocities outside their box and 12 iterations cannot
-    # barrier-walk them back (flagged not-ok honestly; closed loop
-    # recovers). Projecting v into the box here makes it WORSE (13.9 m):
-    # the projected iterate sits on the boundary with a huge dynamics
-    # defect, fraction-to-boundary collapses alpha to ~1e-3 and the defect
-    # stalls. A bounds-feasible dynamically-consistent start (braking
-    # profile) would be needed; out of scope for the reference's +-2 m
-    # flight envelope.
+    # Far-regime feasible fallback (mirrors qp_ipm.solve_qp — see the long
+    # note there): where the clipped-LQR rollout's planned velocities leave
+    # their box (offsets >~13-18 m), switch that SCENARIO's start to the
+    # zero-control rollout — dynamics-exact and strictly interior, so the
+    # iterate stays feasible at any step length and the health flag holds at
+    # any distance. Per-lane selection; nominal scenarios are untouched.
+    v_feasible = jnp.all(
+        (zx[:, 3:6] >= p.lx) & (zx[:, 3:6] <= p.ux), axis=(0, 1)
+    )  # (tail,)
+    zx_hold = sparse_rollout_zero_u(p, consts, dx0_p)
+    zx = jnp.where(v_feasible, zx, zx_hold)
+    zu = jnp.where(v_feasible, zu, 0.0)
     su_lo, su_up = ipm_slack_init(p.lu, p.uu, zu, s_min)
     sx_lo, sx_up = ipm_slack_init(p.lx, p.ux, zx[:, 3:6], s_min)
 

@@ -73,6 +73,7 @@ def make_rti_controller(
     with_disturbance: bool = False,
     qp_iters: int = 12,
     eq_tol: float = 1e-3,
+    mehrotra: bool = False,
 ) -> RtiController:
     linearize_horizon, _phi = make_ocp_functions(ocp, vehicle, with_disturbance)
 
@@ -90,11 +91,15 @@ def make_rti_controller(
             f_dist = None
         qp = linearize_horizon(state.x_bar, state.u_bar, xr, ur, f_dist)
         dx0 = x0.astype(state.x_bar.dtype) - state.x_bar[0]
-        sol = solve_qp(qp, dx0, num_iters=qp_iters)
+        sol = solve_qp(qp, dx0, num_iters=qp_iters, mehrotra=mehrotra)
         new_state = RtiState(state.x_bar + sol.dx, state.u_bar + sol.du)
-        u0 = new_state.u_bar[0]
-        u_lo = jnp.asarray(ocp.u_lower(), u0.dtype)
-        u_hi = jnp.asarray(ocp.u_upper(), u0.dtype)
+        u_lo = jnp.asarray(ocp.u_lower(), state.u_bar.dtype)
+        u_hi = jnp.asarray(ocp.u_upper(), state.u_bar.dtype)
+        # actuator envelope: the EXECUTED command always respects the
+        # hardware box even when an unconverged far-regime solve (flagged
+        # not-ok below) returns an out-of-box first stage; identity in the
+        # nominal regime
+        u0 = jnp.clip(new_state.u_bar[0], u_lo, u_hi)
         bound_tol = 1e-4 * (u_hi - u_lo)
         in_box = jnp.all(
             (new_state.u_bar >= u_lo - bound_tol)
@@ -127,6 +132,7 @@ def make_batched_rti_controller(
     interpret: bool = False,
     warm_start: bool = False,
     jac_bf16: bool = False,
+    mehrotra: bool = False,
 ) -> RtiController:
     """Batch-first RTI controller: all arguments carry a leading scenario
     axis B and the QP batch is solved by the structure-sparse fused Pallas
@@ -167,7 +173,7 @@ def make_batched_rti_controller(
 
     per_scenario = make_rti_controller(
         ocp, vehicle, with_disturbance=with_disturbance, qp_iters=qp_iters,
-        eq_tol=eq_tol,
+        eq_tol=eq_tol, mehrotra=mehrotra,
     )
 
     def reset(xr: jnp.ndarray, ur: jnp.ndarray) -> RtiState:
@@ -277,9 +283,11 @@ def make_batched_rti_controller(
         else:
             ipm_new = state.ipm
         new_state = RtiState(state.x_bar + dx, state.u_bar + du, ipm_new)
-        u0 = new_state.u_bar[:, 0]
-        u_lo = jnp.asarray(ocp.u_lower(), u0.dtype)
-        u_hi = jnp.asarray(ocp.u_upper(), u0.dtype)
+        u_lo = jnp.asarray(ocp.u_lower(), state.u_bar.dtype)
+        u_hi = jnp.asarray(ocp.u_upper(), state.u_bar.dtype)
+        # actuator envelope (see make_rti_controller): executed command
+        # clipped to the hardware box; identity in the nominal regime
+        u0 = jnp.clip(new_state.u_bar[:, 0], u_lo, u_hi)
         bound_tol = 1e-4 * (u_hi - u_lo)
         in_box = jnp.all(
             (new_state.u_bar >= u_lo - bound_tol)
