@@ -77,17 +77,37 @@ def run_mission(args) -> dict:
     else:
         traj = build_eight()
 
-    kwargs = dict(topology)
-    if kwargs.pop("use_ndp", False):
-        kwargs["use_ndp"] = True
-        kwargs["downwash_params"] = load_npz(
-            args.nn or default_asset("downwash_analytic_sn4.npz"), dtype=dtype
-        )
+    if args.topology == "swarm" and args.formation:
+        # S x 3-drone formation/NDP swarms: three_qd_ndp semantics at scale
+        # (exchange + downwash forecast + plant coupling per group), one
+        # flattened controller batch for the Pallas path
+        from .sim.swarm_scale import make_formation_swarm
 
-    init_fn, _, run_fn = make_episode(
-        cfg, traj, hold_ticks=args.hold_ticks,
-        solver_warm_start=args.warm, qp_iters=args.qp_iters, **kwargs
-    )
+        n_swarms = max(args.drones // 3, 1)
+        init_fn, _, run_fn = make_formation_swarm(
+            cfg, traj, n_swarms=n_swarms, drones_per_swarm=3,
+            use_ndp=True, true_downwash=True,
+            downwash_params=load_npz(
+                args.nn or default_asset("downwash_analytic_sn4.npz"),
+                dtype=dtype,
+            ),
+            hold_ticks=args.hold_ticks, qp_iters=args.qp_iters,
+            solver_warm_start=args.warm,
+        )
+        topology = dict(n_drones=n_swarms * 3)
+    else:
+        kwargs = dict(topology)
+        if kwargs.pop("use_ndp", False):
+            kwargs["use_ndp"] = True
+            kwargs["downwash_params"] = load_npz(
+                args.nn or default_asset("downwash_analytic_sn4.npz"),
+                dtype=dtype,
+            )
+
+        init_fn, _, run_fn = make_episode(
+            cfg, traj, hold_ticks=args.hold_ticks,
+            solver_warm_start=args.warm, qp_iters=args.qp_iters, **kwargs
+        )
     n_ticks = args.hold_ticks + int(args.track_secs / cfg.ocp.ts_nmpc)
 
     run = jax.jit(lambda s: run_fn(s, n_ticks)[:2])
@@ -173,6 +193,11 @@ def main(argv=None):
         choices=["one_qd", "two_qd", "three_qd", "three_qd_ndp", "four_qd", "swarm"],
     )
     mission.add_argument("--drones", type=int, default=4096, help="swarm size")
+    mission.add_argument(
+        "--formation", action="store_true",
+        help="swarm: drones//3 leader/follower NDP formations (exchange + "
+        "downwash + coupling) instead of independent drones",
+    )
     mission.add_argument("--track-secs", type=float, default=16.0)
     mission.add_argument("--hold-ticks", type=int, default=200)
     mission.add_argument("--k-true", type=float, default=46.0)
