@@ -108,6 +108,63 @@ def main():
         f"p90={lat[-1]*1e3:.1f}ms ok={n_ok}/{B}",
         file=sys.stderr,
     )
+
+    # --- interactive (ControllerDaemon-shaped) tick: ONE blocking dispatch
+    # per 20 ms control period, state chained tick to tick (VERDICT r1 item
+    # 3). B=1 is the per-drone daemon program (scan backend, like
+    # runtime/nodes.py); B=64 a small co-hosted fleet. p50/p99 vs the 20 ms
+    # deadline (`nmpc_node.py:216-220`); details also land in
+    # BENCH_DETAILS.json. ---
+    details = {"throughput": {
+        "B": B, "device_step_ms": round(mean * 1e3, 3),
+        "solves_per_s": round(solves_per_s, 1),
+        "compile_s": round(compile_s, 1),
+        "blocking_p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+    }}
+    if os.environ.get("BENCH_INTERACTIVE", "1") == "1":
+        from ndp_nmpc_qd_tpu.solver.rti import make_rti_controller
+
+        for Bi in (1, 64):
+            if Bi == 1:
+                ctl_i = make_rti_controller(
+                    cfg.ocp, cfg.vehicle, with_disturbance=True
+                )
+                x0_i, xr_i, ur_i = x0[0], xr[0], ur[0]
+                f_i = jnp.zeros((N + 1, 3))
+            else:
+                ctl_i = make_batched_rti_controller(
+                    cfg.ocp, cfg.vehicle, with_disturbance=True,
+                    backend="jax",
+                )
+                x0_i, xr_i, ur_i = x0[:Bi], xr[:Bi], ur[:Bi]
+                f_i = jnp.zeros((Bi, N + 1, 3))
+            st_i = ctl_i.reset(xr_i, ur_i)
+            step_i = jax.jit(ctl_i.update)
+            u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
+            jax.block_until_ready(u_i)
+            ticks = []
+            for _ in range(200):
+                t0 = time.perf_counter()
+                u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
+                jax.block_until_ready(u_i)
+                ticks.append(time.perf_counter() - t0)
+            ticks.sort()
+            p50 = ticks[len(ticks) // 2] * 1e3
+            p99 = ticks[int(len(ticks) * 0.99)] * 1e3
+            details[f"interactive_B{Bi}"] = {
+                "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
+            }
+            print(
+                f"interactive B={Bi}: blocking tick p50={p50:.2f}ms "
+                f"p99={p99:.2f}ms (20 ms budget)",
+                file=sys.stderr,
+            )
+    with open(
+        os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w"
+    ) as f:
+        json.dump(details, f, indent=1)
+
     print(
         json.dumps(
             {

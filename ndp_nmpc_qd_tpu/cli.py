@@ -149,10 +149,17 @@ def run_mission(args) -> dict:
 
 
 def run_node(args) -> dict:
-    """Runtime daemons over the shared-memory bus (the rosrun analog)."""
+    """Runtime daemons over the shared-memory bus (the rosrun analog).
+
+    Daemons pin to CPU by default: the interactive path does ONE blocking
+    dispatch per 20 ms tick, and measured r2 numbers are CPU p50 6.0 ms /
+    p99 11.5 ms (inside budget) vs ~25 ms per blocking TPU round-trip
+    through the axon tunnel (BENCH_DETAILS.json). `--device tpu` opts into
+    the accelerator for locally-attached chips.
+    """
     import jax
 
-    if args.cpu:
+    if getattr(args, "device", "cpu") != "tpu" or args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from .runtime.nodes import ControllerDaemon, PlantDaemon, send_trajectory
@@ -232,6 +239,11 @@ def main(argv=None):
         p.add_argument(
             "--cancel-after", type=float, default=None,
             help="send: preempt the goal this many seconds in (status=2)",
+        )
+        p.add_argument(
+            "--device", default="cpu", choices=["cpu", "tpu"],
+            help="daemons default to CPU (one blocking dispatch per tick; "
+            "measured CPU p99 11.5 ms vs ~25 ms/TPU-tunnel round-trip)",
         )
         p.add_argument("--cpu", action="store_true")
         p.set_defaults(node=name)

@@ -232,16 +232,26 @@ def _backward_kernel(
 
 def _forward_kernel(
     a_ref, b_ref, rhat_ref, K_ref, k_ref, lo_ref, hi_ref, dx0_ref,
-    dx_out, du_out, dxN_out,
-    dx_scr,
-    *, h, n_stages, clip,
+    *refs,
+    h, n_stages, clip, hold,
 ):
+    """Forward rollout; with `hold=True` a SECOND zero-control rollout
+    (dx_hold[k+1] = A dx_hold[k] + r) rides the same grid pass — the
+    far-regime feasible start (solver/qp_ipm.py) at zero extra HBM reads,
+    since the a/r tiles are already in VMEM."""
+    if hold:
+        (dx_out, du_out, dxN_out, dxh_out, dxhN_out, dx_scr, dxh_scr) = refs
+    else:
+        (dx_out, du_out, dxN_out, dx_scr) = refs
+        dxh_out = dxhN_out = dxh_scr = None
     s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _():
         for i in range(NX):
             dx_scr[i] = dx0_ref[0, i]
+            if hold:
+                dxh_scr[i] = dx0_ref[0, i]
 
     dx = [dx_scr[i] for i in range(NX)]
     apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
@@ -260,34 +270,48 @@ def _forward_kernel(
     for l in range(NU):
         du_out[0, l] = du[l]
 
-    dq = dx[6:10]
-    nxt = [None] * NX
-    for i in range(3):
-        nxt[i] = (
-            dx[i] + h * dx[3 + i]
-            + sum(apq[i][j] * dq[j] for j in range(4))
-            + sum(bp[i][l] * du[l] for l in range(4))
-            + rh[i]
-        )
-        nxt[3 + i] = (
-            dx[3 + i]
-            + sum(avq[i][j] * dq[j] for j in range(4))
-            + sum(bv[i][l] * du[l] for l in range(4))
-            + rh[3 + i]
-        )
-    for i in range(4):
-        nxt[6 + i] = (
-            sum(aqq[i][j] * dq[j] for j in range(4))
-            + sum(bq[i][l] * du[l] for l in range(3))
-            + rh[6 + i]
-        )
+    def step_dyn(dxv, duv):
+        dq = dxv[6:10]
+        nxt = [None] * NX
+        for i in range(3):
+            nxt[i] = (
+                dxv[i] + h * dxv[3 + i]
+                + sum(apq[i][j] * dq[j] for j in range(4))
+                + (sum(bp[i][l] * duv[l] for l in range(4)) if duv else 0.0)
+                + rh[i]
+            )
+            nxt[3 + i] = (
+                dxv[3 + i]
+                + sum(avq[i][j] * dq[j] for j in range(4))
+                + (sum(bv[i][l] * duv[l] for l in range(4)) if duv else 0.0)
+                + rh[3 + i]
+            )
+        for i in range(4):
+            nxt[6 + i] = (
+                sum(aqq[i][j] * dq[j] for j in range(4))
+                + (sum(bq[i][l] * duv[l] for l in range(3)) if duv else 0.0)
+                + rh[6 + i]
+            )
+        return nxt
+
+    nxt = step_dyn(dx, du)
     for i in range(NX):
         dx_scr[i] = nxt[i]
+
+    if hold:
+        dxh = [dxh_scr[i] for i in range(NX)]
+        for i in range(NX):
+            dxh_out[0, i] = dxh[i]
+        nxth = step_dyn(dxh, None)
+        for i in range(NX):
+            dxh_scr[i] = nxth[i]
 
     @pl.when(s == n_stages - 1)
     def _():
         for i in range(NX):
             dxN_out[0, i] = nxt[i]
+            if hold:
+                dxhN_out[0, i] = nxth[i]
 
 
 def _stage_spec(d, reverse, n_stages, nbt, shift=0):
@@ -328,16 +352,20 @@ def _nbt_for(nb: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "diag6_stage", "diag6_term", "rdiag_stage", "interpret"),
+    static_argnames=(
+        "h", "diag6_stage", "diag6_term", "rdiag_stage", "interpret",
+        "with_hold",
+    ),
 )
 def riccati_sweep_sparse(
     hq, gx, gu, a, b, r, zx, zu, sig_u, sig_x, corr_u, corr_x, dx0_res,
     clip_lo=None, clip_hi=None,
     *, h, diag6_stage, diag6_term, rdiag_stage, interpret: bool = False,
+    with_hold: bool = False,
 ):
     """One fused backward+forward sweep in sparse packed layout.
 
-    Shapes (tail = (nb, 8, 128)): hq (N+1,16), gx (N+1,10), gu (N,4),
+    Shapes (tail = (nb, 8, 128)): hq (N+1,10), gx (N+1,10), gu (N,4),
     a (N,40), b (N,36), r (N,10), zx (N+1,10), zu (N,4), sig_u (N,4),
     sig_x (N+1,3), corr_u (N,4), corr_x (N+1,3), dx0_res (1,10),
     clip_lo/hi (N,4) or None.
@@ -346,7 +374,11 @@ def riccati_sweep_sparse(
     (zx, zu) with gradients ghat = g + H z + corr and defects
     rhat = A zx + B zu + r - zx' assembled in-kernel.
 
-    Returns (dx (N+1,10,tail), du (N,4,tail), rhat (N,10,tail)).
+    Returns (dx (N+1,10,tail), du (N,4,tail), rhat (N,10,tail)); with
+    `with_hold=True` also the zero-control rollout dx_hold (N+1,10,tail) —
+    ONLY valid when called at the zero iterate (zx = zu = 0, so the
+    in-kernel rhat equals r); used by the warm-start call to get the
+    far-regime feasible start for free.
     """
     Np1, _, nb = hq.shape[:3]
     N = Np1 - 1
@@ -409,13 +441,31 @@ def riccati_sweep_sparse(
     if not clip:
         clip_lo = jnp.zeros((N, NU, nb, SUB, LANE), dt)
         clip_hi = clip_lo
-    out_shape_f = (
+    out_shape_f = [
         jax.ShapeDtypeStruct((N, NX, nb, SUB, LANE), dt),
         jax.ShapeDtypeStruct((N, NU, nb, SUB, LANE), dt),
         jax.ShapeDtypeStruct((1, NX, nb, SUB, LANE), dt),
-    )
-    dx019, du, dxN = pl.pallas_call(
-        functools.partial(_forward_kernel, h=h, n_stages=N, clip=clip),
+    ]
+    out_specs_f = [
+        _stage_spec(NX, False, N, nbt),
+        _stage_spec(NU, False, N, nbt),
+        _pinned_spec(NX, 0, nbt),
+    ]
+    scratch_f = [pltpu.VMEM((NX, nbt, SUB, LANE), dt)]
+    if with_hold:
+        out_shape_f += [
+            jax.ShapeDtypeStruct((N, NX, nb, SUB, LANE), dt),
+            jax.ShapeDtypeStruct((1, NX, nb, SUB, LANE), dt),
+        ]
+        out_specs_f += [
+            _stage_spec(NX, False, N, nbt),
+            _pinned_spec(NX, 0, nbt),
+        ]
+        scratch_f += [pltpu.VMEM((NX, nbt, SUB, LANE), dt)]
+    outs = pl.pallas_call(
+        functools.partial(
+            _forward_kernel, h=h, n_stages=N, clip=clip, hold=with_hold
+        ),
         grid=grid,
         in_specs=[
             _stage_spec(40, False, N, nbt),  # a
@@ -427,18 +477,18 @@ def riccati_sweep_sparse(
             _stage_spec(NU, False, N, nbt),  # hi
             _pinned_spec(NX, 0, nbt),  # dx0
         ],
-        out_specs=[
-            _stage_spec(NX, False, N, nbt),
-            _stage_spec(NU, False, N, nbt),
-            _pinned_spec(NX, 0, nbt),
-        ],
-        out_shape=out_shape_f,
-        scratch_shapes=[pltpu.VMEM((NX, nbt, SUB, LANE), dt)],
+        out_specs=out_specs_f,
+        out_shape=tuple(out_shape_f),
+        scratch_shapes=scratch_f,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(a, b, rhat, K, kf, clip_lo, clip_hi, dx0_res)
 
+    dx019, du, dxN = outs[0], outs[1], outs[2]
     dx = jnp.concatenate([dx019, dxN], axis=0)
+    if with_hold:
+        dx_hold = jnp.concatenate([outs[3], outs[4]], axis=0)
+        return dx, du, rhat, dx_hold
     return dx, du, rhat

@@ -152,10 +152,11 @@ def ipm_sparse(
     # for far-from-reference states (cold) and lands near the previous
     # solution when the problem barely moved (warm)
     margin = 1e-3 * (p.uu - p.lu)
-    zx, zu, _ = sweep(
+    zx, zu, _, zx_hold = sweep(
         p.hq, p.gx, p.gu, p.a, p.b, p.r,
         zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
         clip_lo=p.lu + margin, clip_hi=p.uu - margin,
+        with_hold=True,  # zero-control rollout rides the same kernel pass
     )
     # Far-regime feasible fallback (mirrors qp_ipm.solve_qp — see the long
     # note there): where the clipped-LQR rollout's planned velocities leave
@@ -166,7 +167,6 @@ def ipm_sparse(
     v_feasible = jnp.all(
         (zx[:, 3:6] >= p.lx) & (zx[:, 3:6] <= p.ux), axis=(0, 1)
     )  # (tail,)
-    zx_hold = sparse_rollout_zero_u(p, consts, dx0_p)
     zx = jnp.where(v_feasible, zx, zx_hold)
     zu = jnp.where(v_feasible, zu, 0.0)
     su_lo, su_up = ipm_slack_init(p.lu, p.uu, zu, s_min)

@@ -273,3 +273,29 @@ def test_sparse_ipm_multiblock_tiles():
     np.testing.assert_allclose(
         np.asarray(unpack(zu, (4,)))[idx], np.asarray(sol.du), atol=1e-4
     )
+
+
+def test_inkernel_hold_rollout_matches_reference(lin_pair):
+    """The zero-control rollout fused into the forward kernel (with_hold)
+    must equal the jnp reference `sparse_rollout_zero_u`."""
+    from ndp_nmpc_qd_tpu.solver.qp_ipm_sparse import sparse_rollout_zero_u
+
+    cfg, _, qp_s, consts, _, dx0_p = lin_pair
+    N = cfg.ocp.N_node
+    tail = qp_s.r.shape[2:]
+    zeros_su = jnp.zeros((N, 4) + tail, jnp.float32)
+    zeros_sx = jnp.zeros((N + 1, 10) + tail, jnp.float32)
+    zeros_s3 = jnp.zeros((N + 1, 3) + tail, jnp.float32)
+    margin = 1e-3 * (qp_s.uu - qp_s.lu)
+    _, _, _, dx_hold = riccati_sweep_sparse(
+        qp_s.hq, qp_s.gx, qp_s.gu, qp_s.a, qp_s.b, qp_s.r,
+        zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
+        clip_lo=qp_s.lu + margin, clip_hi=qp_s.uu - margin,
+        h=consts.h, diag6_stage=consts.diag6_stage,
+        diag6_term=consts.diag6_term, rdiag_stage=consts.rdiag_stage,
+        interpret=True, with_hold=True,
+    )
+    ref = sparse_rollout_zero_u(qp_s, consts, dx0_p)
+    np.testing.assert_allclose(
+        np.asarray(dx_hold), np.asarray(ref), rtol=0, atol=1e-5
+    )
