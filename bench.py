@@ -51,11 +51,13 @@ def main():
     )
 
     # operating point: best measured throughput with the device step well
-    # inside the reference's 20 ms control deadline (measured 2026-08-18
-    # after closed-form Hq + nbt grid tiling, warm@6:
-    # B=4096 -> 2.3 ms/1.75M solves/s, B=8192 -> 4.7 ms/1.74M,
-    # B=16384 -> 12.0 ms/1.36M)
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    # inside the reference's 20 ms control deadline (measured 2026-08-19
+    # with the fused Pallas linearization, warm@6 — device time per step is
+    # 1.16 ms at B=4096, so the axon tunnel's ~2.4 ms/dispatch enqueue cost
+    # now dominates small batches and the operating point moves up:
+    # B=4096 -> 2.4 ms/1.71M solves/s, B=8192 -> 4.1 ms/2.00M,
+    # B=16384 -> 7.8 ms/2.10M, B=32768 -> 16.6 ms/1.97M)
+    B = int(os.environ.get("BENCH_BATCH", "16384"))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     pos = jax.random.uniform(k1, (B, 3), jnp.float32, -1.0, 1.0)

@@ -93,6 +93,7 @@ def make_episode(
     solver_backend: str = "auto",
     solver_warm_start: bool = False,
     solver_jac_bf16: bool = False,
+    solver_lqr_start: bool = True,
     swarm_axis_name: str | None = None,
     swarm_shards: int = 1,
 ):
@@ -140,7 +141,7 @@ def make_episode(
     ctl = make_batched_rti_controller(
         ocp, veh, with_disturbance=True, qp_iters=qp_iters,
         backend=solver_backend, warm_start=solver_warm_start,
-        jac_bf16=solver_jac_bf16,
+        jac_bf16=solver_jac_bf16, lqr_start=solver_lqr_start,
     )
     if formation_fn is None:
         formation_fn = partial(reference_formation_offsets, n_drones=n_drones)

@@ -104,6 +104,77 @@ def b_dense_from_sparse(b36: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([bp, bv, bq_full], axis=-2)
 
 
+def make_linearizer_pallas(
+    ocp: OcpParams, vehicle: VehicleParams, with_disturbance: bool,
+    jac_dtype=None, interpret: bool = False,
+):
+    """Fused-kernel drop-in for `make_ocp_functions_sparse`.
+
+    Same contract — returns (linearize_sparse, consts, phi) with batch-first
+    (B, ...) inputs — but the stage QP data is computed by ONE Pallas kernel
+    pass (`ops/pallas/linearize.py`): RK4 + tangent columns + GN cost terms +
+    bounds, emitted directly in kernel layout. Parity vs the jnp path is
+    element-level (`tests/test_lin_kernel.py`).
+    """
+    from ..ops.pallas.linearize import linearize_stage_data
+    from ..ops.pallas.riccati import pack
+
+    dt_h = ocp.th_pred
+    stage_scale = dt_h if ocp.scale_stage_cost_by_dt else 1.0
+    q_diag_np = np.asarray(ocp.q_diag())
+    r_diag_np = np.asarray(ocp.r_diag())
+    consts = SparseQpConsts(
+        h=float(dt_h),
+        diag6_stage=tuple(float(v) * stage_scale for v in q_diag_np[:6]),
+        diag6_term=tuple(float(v) for v in q_diag_np[:6]),
+        rdiag_stage=tuple(float(v) * stage_scale for v in r_diag_np),
+    )
+
+    def f(x, u, fd):
+        return body_rate_dynamics(
+            x, u, fd if with_disturbance else None,
+            mass=vehicle.mass, gravity=vehicle.gravity,
+        )
+
+    phi = make_discrete_dynamics(f, dt_h, ocp.erk_substeps)
+
+    kernel_consts = dict(
+        h=float(dt_h), substeps=int(ocp.erk_substeps),
+        mass=float(vehicle.mass), gravity=float(vehicle.gravity),
+        stage_scale=float(stage_scale),
+        q_diag=tuple(float(v) for v in q_diag_np),
+        r_diag=tuple(float(v) for v in r_diag_np),
+        u_lo=tuple(float(v) for v in np.asarray(ocp.u_lower())),
+        u_hi=tuple(float(v) for v in np.asarray(ocp.u_upper())),
+        v_lo=tuple(float(v) for v in np.asarray(ocp.v_lower())),
+        v_hi=tuple(float(v) for v in np.asarray(ocp.v_upper())),
+        with_dist=bool(with_disturbance), big=float(BIG),
+        jac_dtype=jac_dtype, interpret=interpret,
+    )
+
+    def linearize_sparse(x_bar, u_bar, xr, ur, f_dist, x0):
+        N = ocp.N_node
+        dtype = x_bar.dtype
+        B = x_bar.shape[0]
+        assert B % BLOCK == 0, B
+        if f_dist is None:
+            f_dist = jnp.zeros((B, N + 1, 3), dtype)
+        outs = linearize_stage_data(
+            pack(x_bar.astype(dtype)), pack(u_bar.astype(dtype)),
+            pack(xr.astype(dtype)), pack(ur.astype(dtype)),
+            pack(f_dist.astype(dtype)), pack(x0.astype(dtype)[:, None]),
+            **kernel_consts,
+        )
+        hq, gx, gu, a, b, r, lu, uu, lx, ux, dx0_p = outs
+        qp = SparseQp(
+            hq=hq, gx=gx, gu=gu, a=a, b=b, r=r,
+            lu=lu, uu=uu, lx=lx, ux=ux,
+        )
+        return qp, dx0_p
+
+    return linearize_sparse, consts, phi
+
+
 def make_ocp_functions_sparse(
     ocp: OcpParams, vehicle: VehicleParams, with_disturbance: bool,
     jac_dtype=None,

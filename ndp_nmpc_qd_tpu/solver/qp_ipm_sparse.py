@@ -115,6 +115,7 @@ def ipm_sparse(
     mu_min: float = 1e-12,
     interpret: bool = False,
     warm: IpmWarm | None = None,
+    lqr_start: bool = True,
 ):
     """Returns (zx (N+1,10,tail), zu (N,4,tail), mu (tail), eq_res (tail),
     new_warm: IpmWarm).
@@ -148,27 +149,41 @@ def ipm_sparse(
     mu0 = jnp.asarray(mu_init, dt)
     n_cons = 2 * N * nu + 2 * Np1 * 3
 
-    # clipped-LQR primal warm start: strictly inside the control box — robust
-    # for far-from-reference states (cold) and lands near the previous
-    # solution when the problem barely moved (warm)
-    margin = 1e-3 * (p.uu - p.lu)
-    zx, zu, _, zx_hold = sweep(
-        p.hq, p.gx, p.gu, p.a, p.b, p.r,
-        zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
-        clip_lo=p.lu + margin, clip_hi=p.uu - margin,
-        with_hold=True,  # zero-control rollout rides the same kernel pass
-    )
-    # Far-regime feasible fallback (mirrors qp_ipm.solve_qp — see the long
-    # note there): where the clipped-LQR rollout's planned velocities leave
-    # their box (offsets >~13-18 m), switch that SCENARIO's start to the
-    # zero-control rollout — dynamics-exact and strictly interior, so the
-    # iterate stays feasible at any step length and the health flag holds at
-    # any distance. Per-lane selection; nominal scenarios are untouched.
-    v_feasible = jnp.all(
-        (zx[:, 3:6] >= p.lx) & (zx[:, 3:6] <= p.ux), axis=(0, 1)
-    )  # (tail,)
-    zx = jnp.where(v_feasible, zx, zx_hold)
-    zu = jnp.where(v_feasible, zu, 0.0)
+    if lqr_start:
+        # clipped-LQR primal warm start: strictly inside the control box —
+        # robust for far-from-reference states (cold) and lands near the
+        # previous solution when the problem barely moved (warm)
+        margin = 1e-3 * (p.uu - p.lu)
+        zx, zu, _, zx_hold = sweep(
+            p.hq, p.gx, p.gu, p.a, p.b, p.r,
+            zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
+            clip_lo=p.lu + margin, clip_hi=p.uu - margin,
+            with_hold=True,  # zero-control rollout rides the same kernel pass
+        )
+        # Far-regime feasible fallback (mirrors qp_ipm.solve_qp — see the
+        # long note there): where the clipped-LQR rollout's planned
+        # velocities leave their box (offsets >~13-18 m), switch that
+        # SCENARIO's start to the zero-control rollout — dynamics-exact and
+        # strictly interior, so the iterate stays feasible at any step
+        # length and the health flag holds at any distance. Per-lane
+        # selection; nominal scenarios are untouched.
+        v_feasible = jnp.all(
+            (zx[:, 3:6] >= p.lx) & (zx[:, 3:6] <= p.ux), axis=(0, 1)
+        )  # (tail,)
+        zx = jnp.where(v_feasible, zx, zx_hold)
+        zu = jnp.where(v_feasible, zu, 0.0)
+    else:
+        # zero-control-rollout start only (the far-regime fallback start,
+        # used for EVERY lane): dynamics-exact and strictly interior in the
+        # control box, so the defect-contraction and health-flag arguments
+        # hold unchanged — it just starts further from the optimum than the
+        # clipped-LQR point. Intended for the dual-warm-started path, where
+        # the carried multipliers already encode the active set and the
+        # extra backward sweep of the LQR start is not worth its HBM pass
+        # (measured equal-accuracy on the golden missions; see
+        # tools/validate_backends.py --warm-iters N --no-lqr-start).
+        zx = sparse_rollout_zero_u(p, consts, dx0_p)
+        zu = zeros_su
     su_lo, su_up = ipm_slack_init(p.lu, p.uu, zu, s_min)
     sx_lo, sx_up = ipm_slack_init(p.lx, p.ux, zx[:, 3:6], s_min)
 

@@ -133,6 +133,8 @@ def make_batched_rti_controller(
     warm_start: bool = False,
     jac_bf16: bool = False,
     mehrotra: bool = False,
+    fused_lin: bool = True,
+    lqr_start: bool = True,
 ) -> RtiController:
     """Batch-first RTI controller: all arguments carry a leading scenario
     axis B and the QP batch is solved by the structure-sparse fused Pallas
@@ -157,6 +159,10 @@ def make_batched_rti_controller(
     tracking identical (2.82 mm RMSE, 2.3e-5 m trajectory divergence) but
     instantaneous control deviation 4.9e-3 vs the f32 reference — OUTSIDE
     the 1e-3 golden tolerance, so this stays opt-in (experimental).
+
+    `fused_lin=True` (default, pallas backend) computes the linearization in
+    a Pallas kernel as well (`ops/pallas/linearize.py`) — RK4 tangents + GN
+    terms emitted directly in kernel layout, no intermediate HBM tensors.
 
     Semantics are otherwise identical to `make_rti_controller` + outer vmap.
     """
@@ -208,20 +214,32 @@ def make_batched_rti_controller(
                 qp, dx0_p, num_iters=qp_iters, interpret=interpret
             ) + (None,)
     else:
-        # production path: structure-sparse fused kernels
-        from .ocp_sparse import make_ocp_functions_sparse
+        # production path: structure-sparse fused kernels; the linearization
+        # itself is a Pallas kernel too (`ops/pallas/linearize.py`) unless
+        # fused_lin=False falls back to the jnp batch-last path
+        from .ocp_sparse import (
+            make_linearizer_pallas,
+            make_ocp_functions_sparse,
+        )
         from .qp_ipm_sparse import ipm_sparse
 
-        linearize_sparse, sp_consts, _ = make_ocp_functions_sparse(
-            ocp, vehicle, with_disturbance,
-            jac_dtype=jnp.bfloat16 if jac_bf16 else None,
-        )
+        if fused_lin:
+            linearize_sparse, sp_consts, _ = make_linearizer_pallas(
+                ocp, vehicle, with_disturbance,
+                jac_dtype=jnp.bfloat16 if jac_bf16 else None,
+                interpret=interpret,
+            )
+        else:
+            linearize_sparse, sp_consts, _ = make_ocp_functions_sparse(
+                ocp, vehicle, with_disturbance,
+                jac_dtype=jnp.bfloat16 if jac_bf16 else None,
+            )
         linearize_packed = linearize_sparse
 
         def solve_packed(qp, dx0_p, warm):
             return ipm_sparse(
                 qp, sp_consts, dx0_p, num_iters=qp_iters,
-                interpret=interpret, warm=warm,
+                interpret=interpret, warm=warm, lqr_start=lqr_start,
             )
 
     use_warm = warm_start and backend == "pallas"

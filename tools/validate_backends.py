@@ -36,6 +36,11 @@ def main():
         "(0 = skip); deviation is reported vs the scan backend",
     )
     ap.add_argument(
+        "--no-lqr-start", action="store_true",
+        help="also validate the warm path with the zero-control-rollout "
+        "start instead of the clipped-LQR start (saves a backward sweep)",
+    )
+    ap.add_argument(
         "--bf16", action="store_true",
         help="also validate the bf16-Jacobian warm path",
     )
@@ -71,6 +76,17 @@ def main():
             (
                 "pallas_warm",
                 {"solver_warm_start": True, "qp_iters": args.warm_iters},
+            )
+        )
+    if args.no_lqr_start:
+        variants.append(
+            (
+                "pallas_warm_nolqr",
+                {
+                    "solver_warm_start": True,
+                    "qp_iters": args.warm_iters or 6,
+                    "solver_lqr_start": False,
+                },
             )
         )
     if args.bf16:
