@@ -41,9 +41,11 @@ def main():
     # (tools/validate_backends.py --warm-iters 6, 2026-08-18)
     qp_iters = int(os.environ.get("BENCH_QP_ITERS", "6"))
     jac_bf16 = os.environ.get("BENCH_JAC_BF16", "0") == "1"
+    lqr_start = os.environ.get("BENCH_LQR_START", "1") == "1"
     ctl = make_batched_rti_controller(
         cfg.ocp, cfg.vehicle, with_disturbance=True,
         qp_iters=qp_iters, warm_start=True, jac_bf16=jac_bf16,
+        lqr_start=lqr_start,
     )
     N = cfg.ocp.N_node
     params = load_npz(

@@ -139,6 +139,15 @@ def run_mission(args) -> dict:
         "pos_rmse": summarize(metrics.pos_rmse),
         "yaw_rmse_deg": summarize(metrics.yaw_rmse_deg),
         "form_rmse": summarize(metrics.form_rmse),
+    }
+    if args.topology == "swarm" and args.formation:
+        # role split, mirroring the reference's separate follower formation
+        # logging (`nmpc_follower_node.py:79-94`): column 0 of each 3-drone
+        # swarm is the leader; followers carry the alpha-filter offset lag
+        pr = np.asarray(metrics.pos_rmse).reshape(-1, 3)
+        result["pos_rmse_leaders"] = summarize(pr[:, 0])
+        result["pos_rmse_followers"] = summarize(pr[:, 1:])
+    result |= {
         "ok": ok.tolist() if ok.size <= 8 else [bool(ok.all())],
         "wall_s_first": round(compile_and_run, 3),
         "wall_s_cached": round(run_time, 3),

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--warm", action="store_true")
     ap.add_argument("--mehrotra", action="store_true")
+    ap.add_argument(
+        "--no-lqr-start", action="store_true",
+        help="zero-control-rollout start only (pallas backend)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,6 +55,7 @@ def main():
     ctl = make_batched_rti_controller(
         ocp, veh, with_disturbance=True, qp_iters=args.iters,
         backend=args.backend, warm_start=args.warm, mehrotra=args.mehrotra,
+        lqr_start=not args.no_lqr_start,
     )
 
     ds = np.arange(args.step, args.max_d + 1e-9, args.step)
@@ -83,6 +88,7 @@ def main():
                 "iters": args.iters,
                 "backend": args.backend,
                 "warm": args.warm,
+                "lqr_start": not args.no_lqr_start,
                 "mehrotra": args.mehrotra,
                 "dtype": str(dtype.__name__),
                 "n_ok": n_ok,
