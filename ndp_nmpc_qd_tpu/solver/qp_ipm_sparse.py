@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.riccati_sparse import riccati_sweep_sparse
+from ..ops.pallas.riccati_sparse import riccati_iter_fused, riccati_sweep_sparse
 from .ocp_sparse import SparseQp, SparseQpConsts
 from .qp_ipm import ipm_corr_terms, ipm_max_step, ipm_slack_init
 
@@ -116,6 +116,7 @@ def ipm_sparse(
     interpret: bool = False,
     warm: IpmWarm | None = None,
     lqr_start: bool = True,
+    fuse_glue: bool = True,
 ):
     """Returns (zx (N+1,10,tail), zu (N,4,tail), mu (tail), eq_res (tail),
     new_warm: IpmWarm).
@@ -213,6 +214,45 @@ def ipm_sparse(
             cold, mu0, jnp.clip(sigma * comp0, mu_min, mu0)
         )
 
+    def step_fused(carry, _):
+        """One iteration over the glue-fused kernels: the slack elimination,
+        direction recovery, step-size ratios, and complementarity partials
+        all ride the two kernel launches (`riccati_iter_fused`); host-side
+        work is two stage-axis reductions + the axpy updates."""
+        zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu = carry
+        dx0_res = dx0_p - zx[:1]
+        (
+            d_zx, d_zu, dsu_lo, dsu_up, dlu_lo, dlu_up,
+            dsx_lo, dsx_up, dlx_lo, dlx_up, a_p, a_d, comp4, res2_r,
+        ) = riccati_iter_fused(
+            p.hq, p.gx, p.gu, p.a, p.b, p.r, zx, zu,
+            su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up,
+            p.lu, p.uu, p.lx, p.ux, mu, dx0_res,
+            h=consts.h, diag6_stage=consts.diag6_stage,
+            diag6_term=consts.diag6_term, rdiag_stage=consts.rdiag_stage,
+            tau=tau, interpret=interpret,
+        )
+        zx = zx + a_p * d_zx
+        zu = zu + a_p * d_zu
+        su_lo = su_lo + a_p * dsu_lo
+        su_up = su_up + a_p * dsu_up
+        sx_lo = sx_lo + a_p * dsx_lo
+        sx_up = sx_up + a_p * dsx_up
+        lu_lo = lu_lo + a_d * dlu_lo
+        lu_up = lu_up + a_d * dlu_up
+        lx_lo = lx_lo + a_d * dlx_lo
+        lx_up = lx_up + a_d * dlx_up
+        comp = (
+            comp4[0] + a_p * comp4[1] + a_d * comp4[2]
+            + a_p * a_d * comp4[3]
+        ) / n_cons
+        mu = jnp.maximum(sigma * comp, mu_min)
+        res2 = res2_r + jnp.sum(dx0_res * dx0_res, axis=(0, 1))
+        return (
+            (zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu),
+            (res2, a_p),
+        )
+
     def step(carry, _):
         zx, zu, su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up, mu = carry
         vx = zx[:, 3:6]
@@ -282,7 +322,9 @@ def ipm_sparse(
         )
 
     carry = (zx, zu, su_lo, su_up, sx_lo, sx_up, *lam, mu_start)
-    carry, ys = jax.lax.scan(step, carry, None, length=num_iters)
+    carry, ys = jax.lax.scan(
+        step_fused if fuse_glue else step, carry, None, length=num_iters
+    )
     zx, zu = carry[0], carry[1]
     mu = carry[-1]
 
