@@ -73,11 +73,33 @@ def run_mission(args) -> dict:
     if args.scenario:
         from .traj.scenarios import load_scenario
 
-        traj = load_scenario(args.scenario)
+        trajs = [load_scenario(s) for s in args.scenario]
+        if len(trajs) > 1:
+            # per-drone goals (four_qd_nmpc.launch:1-25): one trajectory
+            # per drone, only meaningful for independent topologies
+            assert topology.get("independent"), (
+                "multiple --scenario requires four_qd or swarm"
+            )
+            traj = trajs
+        else:
+            traj = trajs[0]
     else:
         traj = build_eight()
 
-    if args.topology == "swarm" and args.formation:
+    if getattr(args, "controller", "bodyrate") == "thrust":
+        # the motor-thrust controller mission (the capability the reference
+        # stubs at nmpc_ctl/nmpc_motor_thrust_ctl.py:11-13): per-rotor plant
+        from .sim.thrust_loop import make_thrust_episode
+
+        assert args.topology == "one_qd", (
+            "--controller thrust supports the one_qd topology"
+        )
+        assert not isinstance(traj, list)
+        init_fn, _, run_fn = make_thrust_episode(
+            cfg, traj, n_drones=1,
+            hold_ticks=args.hold_ticks, qp_iters=args.qp_iters,
+        )
+    elif args.topology == "swarm" and args.formation:
         # S x 3-drone formation/NDP swarms: three_qd_ndp semantics at scale
         # (exchange + downwash forecast + plant coupling per group), one
         # flattened controller batch for the Pallas path
@@ -227,8 +249,14 @@ def main(argv=None):
     )
     mission.add_argument("--qp-iters", type=int, default=12)
     mission.add_argument(
-        "--scenario", default=None,
-        help="trajectory yaml (configs/ name or path), e.g. eight_high_dyn",
+        "--scenario", action="append", default=None,
+        help="trajectory yaml (configs/ name or path), e.g. eight_high_dyn; "
+        "repeat for per-drone goals on independent topologies (four_qd)",
+    )
+    mission.add_argument(
+        "--controller", default="bodyrate", choices=["bodyrate", "thrust"],
+        help="thrust: the motor-thrust NMPC (per-rotor plant actuation; "
+        "one_qd only) — the controller the reference stubs",
     )
 
     for name, hlp in [

@@ -106,7 +106,11 @@ def make_episode(
     `independent` reproduces the four_qd topology
     (`launch/four_qd_nmpc.launch`): every drone is its own leader tracking a
     spatially offset copy of the trajectory — no horizon exchange, no
-    offset filtering, no downwash forecast.
+    offset filtering, no downwash forecast. `traj` may then also be a
+    SEQUENCE of trajectories (one per drone, cycled if shorter), matching
+    the reference's per-namespace cmd_pc goals
+    (`launch/four_qd_nmpc.launch:1-25`): each drone tracks its own
+    trajectory directly, with no spatial offsets.
 
     `hold_ticks` reproduces the reference's mission phasing: the episode
     starts with a hold-point phase during which the hover-throttle estimator
@@ -128,6 +132,15 @@ def make_episode(
     (`parallel.episode.make_sharded_episode`).
     """
     ocp, veh, est_p, dw = cfg.ocp, cfg.vehicle, cfg.estimator, cfg.downwash
+    multi_traj = not isinstance(traj, PiecewisePoly)
+    if multi_traj:
+        from ..traj.polyopt import stack_trajs
+
+        assert independent, "per-drone trajectories require independent mode"
+        trajs = list(traj)
+        traj = stack_trajs(
+            [trajs[i % len(trajs)] for i in range(n_drones)]
+        )  # leaves (D, ...)
     # batched controller: Pallas packed path once the drone batch is big
     # enough to fill its 1024-lane blocks, scan path otherwise
     if solver_backend == "auto":
@@ -172,10 +185,20 @@ def make_episode(
         return jax.lax.dynamic_slice_in_dim(a, i0, Dl, axis=0)
 
     def init_fn(dtype=jnp.float32) -> EpisodeState:
-        fo0 = eval_traj(traj, jnp.zeros((), dtype))
-        leader_x0 = hover_state(fo0.pos.astype(dtype))
-        offsets0 = formation_fn(leader_x0)
-        x0 = jnp.tile(leader_x0, (D, 1)).at[:, 0:3].add(offsets0.astype(dtype))
+        if multi_traj:
+            # each drone hovers at its own trajectory's start; no offsets
+            fo0 = jax.vmap(lambda tr: eval_traj(tr, jnp.zeros((), dtype)))(traj)
+            x0 = jax.vmap(hover_state)(fo0.pos.astype(dtype))
+            offsets0 = jnp.zeros((D, 3), dtype)
+        else:
+            fo0 = eval_traj(traj, jnp.zeros((), dtype))
+            leader_x0 = hover_state(fo0.pos.astype(dtype))
+            offsets0 = formation_fn(leader_x0)
+            x0 = (
+                jnp.tile(leader_x0, (D, 1))
+                .at[:, 0:3]
+                .add(offsets0.astype(dtype))
+            )
 
         xr0, ur0 = jax.vmap(lambda x: gen_fix_pt_ref(x, ocp, veh))(x0)
         rti0 = ctl.reset(xr0, ur0)
@@ -201,19 +224,33 @@ def make_episode(
         in_hold = st.tick < hold_ticks
         t = (st.tick - hold_ticks).astype(dtype) * ocp.ts_nmpc  # traj clock
         t = jnp.maximum(t, 0.0)
-        t_all = traj.t_cum[-1].astype(dtype)
+        t_all = (
+            jnp.max(traj.t_cum[:, -1]) if multi_traj else traj.t_cum[-1]
+        ).astype(dtype)
         finished = jnp.logical_and(jnp.logical_not(in_hold), t >= t_all)
 
         gidx = global_drone_idx()  # (Dl,) global indices of local drones
         is_leader = gidx == 0
         x_all = gall(st.plant.x)  # (D, 10) every drone's current state
 
-        # 1. leader reference: hold-point during calibration, else trajectory
-        xr_T, ur_T = nmpc_refs(traj, t, ocp, veh)
-        xr_L = jnp.where(in_hold, gall(st.hold_xr)[0], xr_T.astype(dtype))
-        ur_L = jnp.where(in_hold, gall(st.hold_ur)[0], ur_T.astype(dtype))
+        if multi_traj:
+            traj_loc = jax.tree.map(local_slice, traj)  # this shard's trajs
+        if not multi_traj:
+            # 1. leader reference: hold-point during calibration, else traj
+            xr_T, ur_T = nmpc_refs(traj, t, ocp, veh)
+            xr_L = jnp.where(in_hold, gall(st.hold_xr)[0], xr_T.astype(dtype))
+            ur_L = jnp.where(in_hold, gall(st.hold_ur)[0], ur_T.astype(dtype))
 
-        if independent:
+        if multi_traj:
+            # four_qd with per-drone goals (`four_qd_nmpc.launch:1-25`):
+            # each drone references its OWN trajectory; no offsets
+            lpf = st.lpf_offset
+            xr_D, ur_D = jax.vmap(lambda tr: nmpc_refs(tr, t, ocp, veh))(
+                traj_loc
+            )
+            xr = jnp.where(in_hold, st.hold_xr, xr_D.astype(dtype))
+            ur = jnp.where(in_hold, st.hold_ur, ur_D.astype(dtype))
+        elif independent:
             # four_qd: every drone tracks its own offset copy of the
             # trajectory — no exchange, no filtering
             lpf = st.lpf_offset
@@ -273,15 +310,20 @@ def make_episode(
         )
 
         # 7. metrics: leader vs trajectory, followers vs formation target
-        fo_t = eval_traj(traj, t)
-        pos_tgt = jnp.where(
-            is_leader[:, None], fo_t.pos[None].astype(dtype), xr[:, 0, 0:3]
-        )
+        if multi_traj:
+            fo_t = jax.vmap(lambda tr: eval_traj(tr, t))(traj_loc)
+            pos_tgt = fo_t.pos.astype(dtype)
+            yaw_tgt = fo_t.yaw.astype(dtype)
+        else:
+            fo_t = eval_traj(traj, t)
+            pos_tgt = jnp.where(
+                is_leader[:, None], fo_t.pos[None].astype(dtype), xr[:, 0, 0:3]
+            )
+            yaw_tgt = jnp.where(
+                is_leader, fo_t.yaw.astype(dtype), quat.yaw(xr[:, 0, 6:10])
+            )
         pos_e2 = jnp.sum((pos_tgt - st.plant.x[:, 0:3]) ** 2, axis=-1)
         yaw_now = quat.yaw(st.plant.x[:, 6:10])
-        yaw_tgt = jnp.where(
-            is_leader, fo_t.yaw.astype(dtype), quat.yaw(xr[:, 0, 6:10])
-        )
         yaw_e2 = jnp.degrees(yaw_tgt - yaw_now) ** 2
         form_e2 = jnp.sum((xr[:, 0, 0:3] - st.plant.x[:, 0:3]) ** 2, axis=-1)
 

@@ -154,6 +154,45 @@ def fit_waypoints(
     )
 
 
+def pad_traj(traj: PiecewisePoly, n_seg: int) -> PiecewisePoly:
+    """Pad to `n_seg` segments with zero-length tail segments (the same
+    static-shape device used by the runtime's MAX_SEG goal padding —
+    `eval_traj` guards the zero-length division and any query landing there
+    is already in the hover-at-final regime)."""
+    m = traj.t_seg.shape[0]
+    assert n_seg >= m, (n_seg, m)
+    if n_seg == m:
+        return traj
+    pad = n_seg - m
+    return PiecewisePoly(
+        coeff_xyz=jnp.concatenate(
+            [traj.coeff_xyz, jnp.zeros((pad,) + traj.coeff_xyz.shape[1:],
+                                       traj.coeff_xyz.dtype)]
+        ),
+        coeff_yaw=jnp.concatenate(
+            [traj.coeff_yaw, jnp.zeros((pad,) + traj.coeff_yaw.shape[1:],
+                                       traj.coeff_yaw.dtype)]
+        ),
+        t_seg=jnp.concatenate([traj.t_seg, jnp.zeros(pad, traj.t_seg.dtype)]),
+        t_cum=jnp.concatenate(
+            [traj.t_cum, jnp.broadcast_to(traj.t_cum[-1], (pad,))]
+        ),
+        final_pt=traj.final_pt,
+    )
+
+
+def stack_trajs(trajs) -> PiecewisePoly:
+    """Stack trajectories along a leading axis (padding all to the longest
+    segment count), so a batch of missions is one vmappable pytree — the
+    per-drone-trajectory form of `launch/four_qd_nmpc.launch:1-25`, where
+    each namespaced node receives its own cmd_pc goal."""
+    n_seg = max(int(t.t_seg.shape[0]) for t in trajs)
+    padded = [pad_traj(t, n_seg) for t in trajs]
+    import jax
+
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *padded)
+
+
 class FlatOutputs(NamedTuple):
     """Flat outputs at query times: the reference's `TrajPt`
     (`msg/TrajPt.msg`), batched."""

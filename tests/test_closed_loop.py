@@ -146,3 +146,45 @@ def test_episode_is_deterministic(cfg):
     st1, m1, _ = jax.jit(lambda s: run_fn(s, 100))(init_fn(jnp.float64))
     st2, m2, _ = jax.jit(lambda s: run_fn(s, 100))(init_fn(jnp.float64))
     np.testing.assert_array_equal(np.asarray(m1.pos_rmse), np.asarray(m2.pos_rmse))
+
+
+def test_four_qd_per_drone_trajectories(cfg):
+    """four_qd with per-drone goals (`launch/four_qd_nmpc.launch:1-25`: each
+    namespaced node receives its own cmd_pc goal): drones track DIFFERENT
+    trajectories of different segment counts (exercising the stack/pad
+    path), each converging to its own final point."""
+    t = np.linspace(0, 2 * np.pi, 9)
+    base = np.stack(
+        [2.0 * np.sin(t), 1.0 * np.sin(2 * t), 1.0 + 0.3 * np.sin(t)], axis=-1
+    )
+    tA = fit_waypoints(base, np.full(8, 2.0), 0.2 * np.sin(t))
+    t2 = np.linspace(0, 2 * np.pi, 6)  # fewer segments -> padding exercised
+    wB = np.stack(
+        [3.0 + np.cos(t2) - 1.0, 1.5 * np.sin(t2), 1.5 + 0.2 * np.sin(t2)],
+        axis=-1,
+    )
+    tB = fit_waypoints(wB, np.full(5, 2.5), 0.1 * np.sin(t2))
+
+    init_fn, _, run_fn = make_episode(
+        cfg, [tA, tB, tA, tB], n_drones=4, independent=True, hold_ticks=150
+    )
+    st = init_fn(dtype=jnp.float64)
+    # drones start at their OWN trajectory's start point, no offsets
+    np.testing.assert_allclose(
+        np.asarray(st.plant.x[0, 0:3]), np.asarray(eight_traj().coeff_xyz[0, 0]),
+        atol=1e-9,
+    )
+    assert abs(float(st.plant.x[1, 0]) - 3.0) < 1e-9  # traj B starts at x=3
+    st, m, _ = jax.jit(lambda s: run_fn(s, 1000))(st)  # 3s hold + 17s track
+    assert bool(jnp.all(m.ok))
+    assert float(jnp.max(m.pos_rmse)) < 0.08, np.asarray(m.pos_rmse)
+    # pairs flying the same trajectory agree; different trajectories differ
+    np.testing.assert_allclose(
+        np.asarray(st.plant.x[0]), np.asarray(st.plant.x[2]), atol=1e-9
+    )
+    assert float(jnp.linalg.norm(st.plant.x[0, 0:3] - st.plant.x[1, 0:3])) > 0.5
+    # each lands at its own final point (trajectories are 16 s / 12.5 s,
+    # both finished by t=17 s)
+    np.testing.assert_allclose(
+        np.asarray(st.plant.x[1, 0:3]), np.asarray(wB[-1]), atol=0.05
+    )

@@ -124,3 +124,36 @@ def test_thrust_controller_tracks_trajectory():
     rmse = np.sqrt(err2 / n)
     assert bool(info.ok)
     assert rmse < 0.05, rmse
+
+
+def test_thrust_episode_mission():
+    """The thrust controller reached from a MISSION (VERDICT r2 item 7):
+    hold-then-track closed loop over the per-rotor plant, scanned."""
+    from ndp_nmpc_qd_tpu.sim.thrust_loop import make_thrust_episode
+
+    t = np.linspace(0, 2 * np.pi, 6)
+    wpts = np.stack([np.sin(t), 0.5 * np.sin(2 * t), 1.0 + 0.1 * np.sin(t)], -1)
+    traj = fit_waypoints(wpts, np.full(5, 2.5))
+    init_fn, _, run_fn = make_thrust_episode(CFG, traj, hold_ticks=50)
+    st = init_fn(dtype=jnp.float64)
+    st, m, _ = jax.jit(lambda s: run_fn(s, 550))(st)
+    assert bool(m.ok[0])
+    assert float(m.pos_rmse[0]) < 0.06, float(m.pos_rmse[0])
+
+
+def test_cli_thrust_mission(capsys):
+    """`mission one_qd --controller thrust` end to end (CLI artifact)."""
+    import json
+
+    from ndp_nmpc_qd_tpu.cli import main
+
+    main(
+        [
+            "mission", "one_qd", "--controller", "thrust", "--cpu",
+            "--track-secs", "4", "--hold-ticks", "30",
+            "--scenario", "hover_step",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] == [True]
+    assert out["pos_rmse"][0] < 0.1
