@@ -49,7 +49,7 @@ from ..swarm.formation import (
 )
 from ..traj.polyopt import PiecewisePoly, eval_traj
 from ..traj.refgen import gen_fix_pt_ref, nmpc_refs
-from .downwash_truth import downwash_on_locals
+from .downwash_truth import downwash_on_locals, pairwise_downwash
 from .plant import PlantState, plant_init, plant_step
 
 
@@ -96,12 +96,25 @@ def make_episode(
     solver_lqr_start: bool = True,
     swarm_axis_name: str | None = None,
     swarm_shards: int = 1,
+    n_groups: int = 1,
+    anchors=None,
 ):
     """Build (init_fn, step_fn, run_fn) for a swarm episode.
 
     Drone 0 is the leader tracking `traj`; drones 1.. follow with filtered
     offsets. `use_ndp` enables the leader's downwash forecast (requires
     `downwash_params`). `true_downwash` turns on plant-side coupling.
+
+    `n_groups` > 1 runs S = n_groups INDEPENDENT leader/follower formations
+    (each a `three_qd_ndp_nmpc.launch` instance) of G = n_drones/S drones,
+    anchored at `anchors` (S, 3) spatial offsets: drone k belongs to group
+    k // G with within-group member index k % G; member 0 is that group's
+    leader tracking the anchored trajectory; the PredXU exchange, formation
+    offsets (evaluated in the group's own frame), NDP forecast, and
+    plant-side wake coupling (block-diagonal, O(S*G^2)) all stay within the
+    group. The controller still sees ONE flattened n_drones batch, so the
+    packed Pallas IPM keeps its 1024-lane blocks full. n_groups = 1 (with
+    zero anchor) is the plain formation episode — same code path.
 
     `independent` reproduces the four_qd topology
     (`launch/four_qd_nmpc.launch`): every drone is its own leader tracking a
@@ -156,10 +169,22 @@ def make_episode(
         backend=solver_backend, warm_start=solver_warm_start,
         jac_bf16=solver_jac_bf16, lqr_start=solver_lqr_start,
     )
-    if formation_fn is None:
-        formation_fn = partial(reference_formation_offsets, n_drones=n_drones)
-    alpha_tick = rate_converted_alpha(0.8, 0.05, ocp.ts_nmpc)
     D, N = n_drones, ocp.N_node
+    S = n_groups
+    assert D % S == 0, (D, S)
+    G = D // S  # drones per group
+    assert S == 1 or not (independent or multi_traj), (
+        "groups are formations; independent/per-drone-traj modes have none"
+    )
+    import numpy as _np
+
+    if anchors is None:
+        anchors = _np.zeros((S, 3))
+    anchors = _np.asarray(anchors, _np.float64)
+    assert anchors.shape == (S, 3), anchors.shape
+    if formation_fn is None:
+        formation_fn = partial(reference_formation_offsets, n_drones=G)
+    alpha_tick = rate_converted_alpha(0.8, 0.05, ocp.ts_nmpc)
     assert D % swarm_shards == 0, (D, swarm_shards)
     Dl = D // swarm_shards  # local drones per shard (== D unsharded)
 
@@ -192,13 +217,16 @@ def make_episode(
             offsets0 = jnp.zeros((D, 3), dtype)
         else:
             fo0 = eval_traj(traj, jnp.zeros((), dtype))
-            leader_x0 = hover_state(fo0.pos.astype(dtype))
-            offsets0 = formation_fn(leader_x0)
-            x0 = (
-                jnp.tile(leader_x0, (D, 1))
-                .at[:, 0:3]
-                .add(offsets0.astype(dtype))
+            anch = jnp.asarray(anchors, dtype)  # (S, 3)
+            lead_x0 = hover_state(fo0.pos.astype(dtype)[None] + anch)  # (S,10)
+            # the reference's x-switching offset rule applies in each
+            # group's OWN frame (each group is a translated formation)
+            offsets0 = (
+                formation_fn(lead_x0.at[:, 0:3].add(-anch))
+                .reshape(D, 3)
+                .astype(dtype)
             )
+            x0 = jnp.repeat(lead_x0, G, axis=0).at[:, 0:3].add(offsets0)
 
         xr0, ur0 = jax.vmap(lambda x: gen_fix_pt_ref(x, ocp, veh))(x0)
         rti0 = ctl.reset(xr0, ur0)
@@ -230,16 +258,31 @@ def make_episode(
         finished = jnp.logical_and(jnp.logical_not(in_hold), t >= t_all)
 
         gidx = global_drone_idx()  # (Dl,) global indices of local drones
-        is_leader = gidx == 0
+        member = gidx % G  # within-group member index
+        grp_l = gidx // G  # (Dl,) group of each local drone
+        is_leader = member == 0
         x_all = gall(st.plant.x)  # (D, 10) every drone's current state
+        x_grp = x_all.reshape(S, G, 10)
+        lead_x = x_grp[:, 0]  # (S, 10) every group leader's state
+        anch = jnp.asarray(anchors, dtype)  # (S, 3)
 
         if multi_traj:
             traj_loc = jax.tree.map(local_slice, traj)  # this shard's trajs
         if not multi_traj:
-            # 1. leader reference: hold-point during calibration, else traj
+            # 1. leader references: hold-point during calibration, else the
+            # trajectory anchored at each group's placement
             xr_T, ur_T = nmpc_refs(traj, t, ocp, veh)
-            xr_L = jnp.where(in_hold, gall(st.hold_xr)[0], xr_T.astype(dtype))
-            ur_L = jnp.where(in_hold, gall(st.hold_ur)[0], ur_T.astype(dtype))
+            hold_lead_x = gall(st.hold_xr).reshape(S, G, N + 1, 10)[:, 0]
+            hold_lead_u = gall(st.hold_ur).reshape(S, G, N, 4)[:, 0]
+            xr_place = jnp.broadcast_to(
+                xr_T.astype(dtype)[None], (S, N + 1, 10)
+            ).at[..., 0:3].add(anch[:, None, :])
+            xr_L = jnp.where(in_hold, hold_lead_x, xr_place)  # (S, N+1, 10)
+            ur_L = jnp.where(
+                in_hold,
+                hold_lead_u,
+                jnp.broadcast_to(ur_T.astype(dtype)[None], (S, N, 4)),
+            )
 
         if multi_traj:
             # four_qd with per-drone goals (`four_qd_nmpc.launch:1-25`):
@@ -252,35 +295,50 @@ def make_episode(
             ur = jnp.where(in_hold, st.hold_ur, ur_D.astype(dtype))
         elif independent:
             # four_qd: every drone tracks its own offset copy of the
-            # trajectory — no exchange, no filtering
+            # trajectory — no exchange, no filtering (S == 1 here)
             lpf = st.lpf_offset
-            xr = jnp.broadcast_to(xr_L[None], (Dl,) + xr_L.shape).at[
+            xr = jnp.broadcast_to(xr_L[0][None], (Dl, N + 1, 10)).at[
                 ..., 0:3
             ].add(lpf[:, None, :])
-            ur = jnp.broadcast_to(ur_L[None], (Dl,) + ur_L.shape)
+            ur = jnp.broadcast_to(ur_L[0][None], (Dl, N, 4))
         else:
-            # 2. follower references from the leader's PREVIOUS horizon
-            # (one-tick-delayed PredXU exchange, `nmpc_node.py:160-162`)
-            raw_off = local_slice(formation_fn(x_all[0]).astype(dtype))
+            # 2. follower references from each GROUP leader's PREVIOUS
+            # horizon (one-tick-delayed PredXU exchange, nmpc_node.py:160-162;
+            # the offset rule evaluated in the group's own frame)
+            raw_off = local_slice(
+                formation_fn(lead_x.at[:, 0:3].add(-anch))
+                .reshape(D, 3)
+                .astype(dtype)
+            )
             lpf = alpha_tick * st.lpf_offset + (1 - alpha_tick) * raw_off
-            prev_x_all = gall(st.prev_ref_x)  # (D, N+1, 10)
-            prev_u_all = gall(st.prev_ref_u)
-            xr_F, ur_F = offset_references(prev_x_all[0], prev_u_all[0], lpf)
-            xr = jnp.where(is_leader[:, None, None], xr_L[None], xr_F)
-            ur = jnp.where(is_leader[:, None, None], ur_L[None], ur_F)
+            prev_lead_x = gall(st.prev_ref_x).reshape(S, G, N + 1, 10)[:, 0]
+            prev_lead_u = gall(st.prev_ref_u).reshape(S, G, N, 4)[:, 0]
 
-        # 3. NDP disturbance forecast (leader only, from drone 1's horizon)
+            def _offset_one(xh, uh, off):
+                return xh.at[:, 0:3].add(off), uh
+
+            xr_F, ur_F = jax.vmap(_offset_one)(
+                prev_lead_x[grp_l], prev_lead_u[grp_l], lpf
+            )
+            xr = jnp.where(is_leader[:, None, None], xr_L[grp_l], xr_F)
+            ur = jnp.where(is_leader[:, None, None], ur_L[grp_l], ur_F)
+
+        # 3. NDP disturbance forecast (each group's leader, from its own
+        # member 1's previous horizon, `ndp_nmpc_leader_node.py:60-76`)
         f_dist = jnp.zeros((Dl, N + 1, 3), dtype)
-        if use_ndp and D > 1 and not independent:
+        if use_ndp and G > 1 and not independent:
+            prev_m1 = gall(st.prev_ref_x).reshape(S, G, N + 1, 10)[:, 1]
             f_leader = predict_downwash(
                 downwash_params,
-                prev_x_all[1],
+                prev_m1,
                 xr_L,
                 r_horiz=dw.r_horiz,
-                ego_gate_pos=x_all[0, 0:3],
-            )
+                ego_gate_pos=lead_x[:, 0:3],
+            )  # (S, N+1, 3)
             f_dist = jnp.where(
-                is_leader[:, None, None], f_leader[None].astype(dtype), f_dist
+                is_leader[:, None, None],
+                f_leader[grp_l].astype(dtype),
+                f_dist,
             )
 
         # 4. one RTI solve per local drone (batched controller)
@@ -300,9 +358,17 @@ def make_episode(
         )
 
         # 6. plant step with ground-truth coupling (forces on local drones
-        #    from ALL drones' gathered states)
+        #    from ALL drones' gathered states; with groups, block-diagonal
+        #    within-group coupling — groups are placed beyond the ~3 m wake
+        #    decay, and O(S*G^2) instead of O(D^2) is what makes the
+        #    4096-drone formation config tractable)
         if true_downwash and D > 1:
-            f_ext = downwash_on_locals(st.plant.x, x_all, gidx)
+            if S > 1:
+                f_ext = local_slice(
+                    pairwise_downwash(x_grp).reshape(D, 3)
+                ).astype(dtype)
+            else:
+                f_ext = downwash_on_locals(st.plant.x, x_all, gidx)
         else:
             f_ext = jnp.zeros((Dl, 3), dtype)
         plant = plant_step(
@@ -316,9 +382,8 @@ def make_episode(
             yaw_tgt = fo_t.yaw.astype(dtype)
         else:
             fo_t = eval_traj(traj, t)
-            pos_tgt = jnp.where(
-                is_leader[:, None], fo_t.pos[None].astype(dtype), xr[:, 0, 0:3]
-            )
+            lead_tgt = fo_t.pos[None].astype(dtype) + anch[grp_l]  # (Dl, 3)
+            pos_tgt = jnp.where(is_leader[:, None], lead_tgt, xr[:, 0, 0:3])
             yaw_tgt = jnp.where(
                 is_leader, fo_t.yaw.astype(dtype), quat.yaw(xr[:, 0, 6:10])
             )

@@ -90,3 +90,43 @@ def test_grid_placement_separates_swarms():
     # every swarm behaves the same (placement is a translation; tolerance
     # covers float rounding of the shifted coordinates)
     assert float(np.max(np.abs(pos - pos[0]))) < 1e-4, pos
+
+
+def test_grouped_sharded_matches_unsharded():
+    """The grouped formation swarm under `make_sharded_episode` (the
+    4096-drone formation config is no longer single-chip-only): sharded over
+    the (data, swarm) mesh == the grouped unsharded vmap."""
+    from ndp_nmpc_qd_tpu.parallel.episode import make_sharded_episode
+    from ndp_nmpc_qd_tpu.parallel.mesh import make_mesh
+
+    cfg = NdpNmpcConfig()
+    traj = _traj()
+    dtype = jnp.float64
+    S, G, SC = 2, 3, 4  # 2 groups x 3 drones, 4 scenarios
+    n_ticks, hold = 80, 30
+    kw = dict(
+        n_groups=S, anchors=grid_placement(S), use_ndp=True,
+        downwash_params=_params(dtype), true_downwash=True, hold_ticks=hold,
+        qp_iters=8, solver_backend="jax",
+    )
+
+    init_fn, _, run_fn = make_episode(cfg, traj, n_drones=S * G, **kw)
+    st0 = init_fn(dtype=dtype)
+    st0 = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (SC,) + a.shape), st0)
+    _, m_ref = jax.jit(jax.vmap(lambda s: run_fn(s, n_ticks)[:2]))(st0)
+
+    mesh = make_mesh(8, swarm_axis=2)  # drones 6 split 2-way, scenarios 4-way
+    init_s, run_s = make_sharded_episode(
+        cfg, traj, mesh, n_drones=S * G, scenario_batch=SC, **kw
+    )
+    _, m_s, _ = run_s(init_s(dtype=dtype), n_ticks)
+
+    for name in ("pos_rmse", "yaw_rmse_deg", "form_rmse"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(m_s, name)),
+            np.asarray(getattr(m_ref, name)),
+            rtol=0, atol=1e-9, err_msg=name,
+        )
+    np.testing.assert_array_equal(np.asarray(m_s.ok), np.asarray(m_ref.ok))
+    assert np.asarray(m_ref.ok).all()
+    assert float(np.max(np.asarray(m_ref.pos_rmse))) < 0.3
