@@ -121,7 +121,7 @@ def _qe_tiles(q, q_ref):
 
 def _lin_kernel(
     xb_ref, xb1_ref, ub_ref, xr_ref, ur_ref, fd_ref, xrT_ref, x0_ref,
-    hq_out, gx_out, gu_out, a_out, b_out, r_out,
+    hq_out, gx_out, gu_out, a_out, b_out, bc_out, r_out,
     lu_out, uu_out, lx_out, ux_out, hqT_out, gxT_out, dx0_out,
     *, h, substeps, mass, gravity, stage_scale, q_diag, r_diag,
     u_lo, u_hi, v_lo, v_hi, with_dist, n_stages,
@@ -174,12 +174,15 @@ def _lin_kernel(
         for j in range(4):
             a_out[0, 24 + i * 4 + j] = a_cols[j][6 + i].astype(jd)  # Aqq
     for i in range(3):
-        for l in range(4):
-            b_out[0, i * 4 + l] = b_cols[l][i].astype(jd)  # Bp
-            b_out[0, 12 + i * 4 + l] = b_cols[l][3 + i].astype(jd)  # Bv
+        for l in range(3):
+            b_out[0, i * 3 + l] = b_cols[l][i].astype(jd)  # Bp omega cols
+            b_out[0, 9 + i * 3 + l] = b_cols[l][3 + i].astype(jd)  # Bv omega
+        # collective columns stay compute dtype (see ocp_sparse docstring)
+        bc_out[0, i] = b_cols[3][i]
+        bc_out[0, 3 + i] = b_cols[3][3 + i]
     for i in range(4):
         for l in range(3):
-            b_out[0, 24 + i * 3 + l] = b_cols[l][6 + i].astype(jd)  # Bq
+            b_out[0, 18 + i * 3 + l] = b_cols[l][6 + i].astype(jd)  # Bq
 
     for i in range(NX):
         r_out[0, i] = x_next[i] - x1[i]
@@ -244,7 +247,8 @@ def linearize_stage_data(
         jax.ShapeDtypeStruct((N, NX, nb, SUB, LANE), dt),  # gx stages
         jax.ShapeDtypeStruct((N, NU, nb, SUB, LANE), dt),  # gu
         jax.ShapeDtypeStruct((N, 40, nb, SUB, LANE), jd),  # a
-        jax.ShapeDtypeStruct((N, 36, nb, SUB, LANE), jd),  # b
+        jax.ShapeDtypeStruct((N, 30, nb, SUB, LANE), jd),  # b omega cols
+        jax.ShapeDtypeStruct((N, 6, nb, SUB, LANE), dt),  # bc collective
         jax.ShapeDtypeStruct((N, NX, nb, SUB, LANE), dt),  # r
         jax.ShapeDtypeStruct((N, NU, nb, SUB, LANE), dt),  # lu
         jax.ShapeDtypeStruct((N, NU, nb, SUB, LANE), dt),  # uu
@@ -278,7 +282,8 @@ def linearize_stage_data(
             _stage_spec(NX, False, N, nbt),
             _stage_spec(NU, False, N, nbt),
             _stage_spec(40, False, N, nbt),
-            _stage_spec(36, False, N, nbt),
+            _stage_spec(30, False, N, nbt),
+            _stage_spec(6, False, N, nbt),
             _stage_spec(NX, False, N, nbt),
             _stage_spec(NU, False, N, nbt),
             _stage_spec(NU, False, N, nbt),
@@ -295,7 +300,7 @@ def linearize_stage_data(
         interpret=interpret,
     )(xb, xb, ub, xr, ur, fd, xr, x0)
 
-    (hq_s, gx_s, gu, a, b, r, lu, uu, lx_s, ux_s, hqT, gxT, dx0_p) = outs
+    (hq_s, gx_s, gu, a, b, bc, r, lu, uu, lx_s, ux_s, hqT, gxT, dx0_p) = outs
     hq = jnp.concatenate([hq_s, hqT], axis=0)
     gx = jnp.concatenate([gx_s, gxT], axis=0)
     # velocity box active on interior stages 1..N-1 only (acados x-bound
@@ -303,4 +308,4 @@ def linearize_stage_data(
     big_row = jnp.full((1, 3, nb, SUB, LANE), big, dt)
     lx = jnp.concatenate([-big_row, lx_s[1:], -big_row], axis=0)
     ux = jnp.concatenate([big_row, ux_s[1:], big_row], axis=0)
-    return hq, gx, gu, a, b, r, lu, uu, lx, ux, dx0_p
+    return hq, gx, gu, a, b, bc, r, lu, uu, lx, ux, dx0_p

@@ -42,14 +42,23 @@ def _vec(ref, n):
     return [ref[0, i] for i in range(n)]
 
 
-def _load_blocks(a_ref, b_ref):
-    """Unpack the sparse A/B payloads into lists of (nbt, 8, 128) tiles."""
+def _load_blocks(a_ref, b_ref, bc_ref):
+    """Unpack the sparse A/B payloads into lists of (nbt, 8, 128) tiles.
+
+    b_ref carries the 30 omega columns, bc_ref the 6 always-f32 collective
+    columns (see `solver/ocp_sparse.py` on the precision split)."""
     apq = [[a_ref[0, i * 4 + j] for j in range(4)] for i in range(3)]
     avq = [[a_ref[0, 12 + i * 4 + j] for j in range(4)] for i in range(3)]
     aqq = [[a_ref[0, 24 + i * 4 + j] for j in range(4)] for i in range(4)]
-    bp = [[b_ref[0, i * 4 + l] for l in range(4)] for i in range(3)]
-    bv = [[b_ref[0, 12 + i * 4 + l] for l in range(4)] for i in range(3)]
-    bq = [[b_ref[0, 24 + i * 3 + l] for l in range(3)] for i in range(4)]
+    bp = [
+        [b_ref[0, i * 3 + l] for l in range(3)] + [bc_ref[0, i]]
+        for i in range(3)
+    ]
+    bv = [
+        [b_ref[0, 9 + i * 3 + l] for l in range(3)] + [bc_ref[0, 3 + i]]
+        for i in range(3)
+    ]
+    bq = [[b_ref[0, 18 + i * 3 + l] for l in range(3)] for i in range(4)]
     return apq, avq, aqq, bp, bv, bq
 
 
@@ -110,7 +119,7 @@ def _terminal_init_core(
 
 
 def _backward_kernel(
-    hq_ref, gx_ref, gu_ref, a_ref, b_ref, r_ref,
+    hq_ref, gx_ref, gu_ref, a_ref, b_ref, bc_ref, r_ref,
     zx_ref, zx1_ref, zu_ref, sigu_ref, sigx_ref, corru_ref, corrx_ref,
     hqT_ref, gxT_ref, zxT_ref, sigxT_ref, corrxT_ref,
     K_out, k_out, rhat_out,
@@ -135,7 +144,7 @@ def _backward_kernel(
     Hq = [[hq_ref[0, i * 4 + j] for j in range(4)] for i in range(4)]
     gx = _vec(gx_ref, NX)
     gu = _vec(gu_ref, NU)
-    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
+    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref, bc_ref)
     r = _vec(r_ref, NX)
     zx = _vec(zx_ref, NX)
     zx1 = _vec(zx1_ref, NX)
@@ -160,7 +169,9 @@ def _riccati_stage_core(
 ):
     """One backward Riccati stage on loaded tiles: fused ghat/rhat assembly,
     structured products, Cholesky gain solve, P/p scratch update, K/k/rhat
-    outputs. Returns the stage defect tiles rh (for res2 partials)."""
+    outputs (rhat_out=None skips the store — the whole-IPM kernel recomputes
+    the defect in its forward pass instead of materializing it). Returns the
+    stage defect tiles rh (for res2 partials)."""
     zq = zx[6:10]
 
     # ---- fused gradient/defect assembly ----
@@ -192,8 +203,9 @@ def _riccati_stage_core(
             + sum(bq[i][l] * zu[l] for l in range(3))
             + r[6 + i] - zx1[6 + i]
         )
-    for i in range(NX):
-        rhat_out[0, i] = rh[i]
+    if rhat_out is not None:
+        for i in range(NX):
+            rhat_out[0, i] = rh[i]
 
     # ---- structured Riccati stage ----
     Prp = [sum(P[i][j] * rh[j] for j in range(NX)) + p[i] for i in range(NX)]
@@ -281,7 +293,7 @@ def _riccati_stage_core(
 
 
 def _backward_kernel_glue(
-    hq_ref, gx_ref, gu_ref, a_ref, b_ref, r_ref,
+    hq_ref, gx_ref, gu_ref, a_ref, b_ref, bc_ref, r_ref,
     zx_ref, zx1_ref, zu_ref,
     sul_ref, suu_ref, lul_ref, luu_ref, lub_ref, uub_ref,
     sxl_ref, sxu_ref, lxl_ref, lxu_ref, lxb_ref, uxb_ref,
@@ -322,7 +334,7 @@ def _backward_kernel_glue(
     Hq = [[hq_ref[0, i * 4 + j] for j in range(4)] for i in range(4)]
     gx = _vec(gx_ref, NX)
     gu = _vec(gu_ref, NU)
-    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
+    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref, bc_ref)
     r = _vec(r_ref, NX)
     zx = _vec(zx_ref, NX)
     zx1 = _vec(zx1_ref, NX)
@@ -406,7 +418,7 @@ def _bound_steps(d, r_lo, r_up, rc_lo, rc_up, s_lo, s_up, l_lo, l_up, tau):
 
 
 def _forward_kernel_glue(
-    a_ref, b_ref, rhat_ref, K_ref, k_ref,
+    a_ref, b_ref, bc_ref, rhat_ref, K_ref, k_ref,
     zu_ref, sul_ref, suu_ref, lul_ref, luu_ref, lub_ref, uub_ref,
     zx_ref, sxl_ref, sxu_ref, lxl_ref, lxu_ref, lxb_ref, uxb_ref,
     zxT_ref, sxlT_ref, sxuT_ref, lxlT_ref, lxuT_ref, lxbT_ref, uxbT_ref,
@@ -433,7 +445,7 @@ def _forward_kernel_glue(
             dx_scr[i] = dx0_ref[0, i]
 
     dx = [dx_scr[i] for i in range(NX)]
-    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
+    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref, bc_ref)
     rh = _vec(rhat_ref, NX)
     K = [[K_ref[0, l * NX + j] for j in range(NX)] for l in range(NU)]
     kf = _vec(k_ref, NU)
@@ -546,7 +558,7 @@ def _forward_kernel_glue(
 
 
 def _forward_kernel(
-    a_ref, b_ref, rhat_ref, K_ref, k_ref, lo_ref, hi_ref, dx0_ref,
+    a_ref, b_ref, bc_ref, rhat_ref, K_ref, k_ref, lo_ref, hi_ref, dx0_ref,
     *refs,
     h, n_stages, clip, hold,
 ):
@@ -569,7 +581,7 @@ def _forward_kernel(
                 dxh_scr[i] = dx0_ref[0, i]
 
     dx = [dx_scr[i] for i in range(NX)]
-    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref)
+    apq, avq, aqq, bp, bv, bq = _load_blocks(a_ref, b_ref, bc_ref)
     rh = _vec(rhat_ref, NX)
     K = [[K_ref[0, l * NX + j] for j in range(NX)] for l in range(NU)]
     kf = _vec(k_ref, NU)
@@ -651,7 +663,7 @@ def _nbt_for(nb: int) -> int:
     ),
 )
 def riccati_iter_fused(
-    hq, gx, gu, a, b, r, zx, zu,
+    hq, gx, gu, a, b, bc, r, zx, zu,
     su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up,
     lub, uub, lxb, uxb, mu, dx0_res,
     *, h, diag6_stage, diag6_term, rdiag_stage, tau,
@@ -701,7 +713,8 @@ def riccati_iter_fused(
             _stage_spec(NX, True, N, nbt),  # gx
             _stage_spec(NU, True, N, nbt),  # gu
             _stage_spec(40, True, N, nbt),  # a
-            _stage_spec(36, True, N, nbt),  # b
+            _stage_spec(30, True, N, nbt),  # b omega cols
+            _stage_spec(6, True, N, nbt),  # bc collective cols
             _stage_spec(NX, True, N, nbt),  # r
             _stage_spec(NX, True, N, nbt),  # zx at s
             _stage_spec(NX, True, N, nbt, shift=1),  # zx at s+1
@@ -745,7 +758,7 @@ def riccati_iter_fused(
         ),
         interpret=interpret,
     )(
-        hq, gx, gu, a, b, r, zx, zx, zu,
+        hq, gx, gu, a, b, bc, r, zx, zx, zu,
         su_lo, su_up, lu_lo, lu_up, lub, uub,
         sx_lo, sx_up, lx_lo, lx_up, lxb, uxb,
         hq, gx, zx, sx_lo, sx_up, lx_lo, lx_up, lxb, uxb, mu5,
@@ -756,7 +769,8 @@ def riccati_iter_fused(
         grid=grid,
         in_specs=[
             _stage_spec(40, False, N, nbt),  # a
-            _stage_spec(36, False, N, nbt),  # b
+            _stage_spec(30, False, N, nbt),  # b omega cols
+            _stage_spec(6, False, N, nbt),  # bc collective cols
             _stage_spec(NX, False, N, nbt),  # rhat
             _stage_spec(NU * NX, False, N, nbt),  # K
             _stage_spec(NU, False, N, nbt),  # k
@@ -817,7 +831,7 @@ def riccati_iter_fused(
         ),
         interpret=interpret,
     )(
-        a, b, rhat, K, kf,
+        a, b, bc, rhat, K, kf,
         zu, su_lo, su_up, lu_lo, lu_up, lub, uub,
         zx, sx_lo, sx_up, lx_lo, lx_up, lxb, uxb,
         zx, sx_lo, sx_up, lx_lo, lx_up, lxb, uxb,
@@ -852,7 +866,7 @@ def riccati_iter_fused(
     ),
 )
 def riccati_sweep_sparse(
-    hq, gx, gu, a, b, r, zx, zu, sig_u, sig_x, corr_u, corr_x, dx0_res,
+    hq, gx, gu, a, b, bc, r, zx, zu, sig_u, sig_x, corr_u, corr_x, dx0_res,
     clip_lo=None, clip_hi=None,
     *, h, diag6_stage, diag6_term, rdiag_stage, interpret: bool = False,
     with_hold: bool = False,
@@ -860,7 +874,7 @@ def riccati_sweep_sparse(
     """One fused backward+forward sweep in sparse packed layout.
 
     Shapes (tail = (nb, 8, 128)): hq (N+1,10), gx (N+1,10), gu (N,4),
-    a (N,40), b (N,36), r (N,10), zx (N+1,10), zu (N,4), sig_u (N,4),
+    a (N,40), b (N,30), bc (N,6), r (N,10), zx (N+1,10), zu (N,4), sig_u (N,4),
     sig_x (N+1,3), corr_u (N,4), corr_x (N+1,3), dx0_res (1,10),
     clip_lo/hi (N,4) or None.
 
@@ -897,7 +911,8 @@ def riccati_sweep_sparse(
             _stage_spec(NX, True, N, nbt),  # gx
             _stage_spec(NU, True, N, nbt),  # gu
             _stage_spec(40, True, N, nbt),  # a
-            _stage_spec(36, True, N, nbt),  # b
+            _stage_spec(30, True, N, nbt),  # b omega cols
+            _stage_spec(6, True, N, nbt),  # bc collective cols
             _stage_spec(NX, True, N, nbt),  # r
             _stage_spec(NX, True, N, nbt),  # zx at s
             _stage_spec(NX, True, N, nbt, shift=1),  # zx at s+1
@@ -927,7 +942,7 @@ def riccati_sweep_sparse(
         ),
         interpret=interpret,
     )(
-        hq, gx, gu, a, b, r, zx, zx, zu, sig_u, sig_x, corr_u, corr_x,
+        hq, gx, gu, a, b, bc, r, zx, zx, zu, sig_u, sig_x, corr_u, corr_x,
         hq, gx, zx, sig_x, corr_x,
     )
 
@@ -963,7 +978,8 @@ def riccati_sweep_sparse(
         grid=grid,
         in_specs=[
             _stage_spec(40, False, N, nbt),  # a
-            _stage_spec(36, False, N, nbt),  # b
+            _stage_spec(30, False, N, nbt),  # b omega cols
+            _stage_spec(6, False, N, nbt),  # bc collective cols
             _stage_spec(NX, False, N, nbt),  # rhat
             _stage_spec(NU * NX, False, N, nbt),  # K
             _stage_spec(NU, False, N, nbt),  # k
@@ -978,7 +994,7 @@ def riccati_sweep_sparse(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(a, b, rhat, K, kf, clip_lo, clip_hi, dx0_res)
+    )(a, b, bc, rhat, K, kf, clip_lo, clip_hi, dx0_res)
 
     dx019, du, dxN = outs[0], outs[1], outs[2]
     dx = jnp.concatenate([dx019, dxN], axis=0)

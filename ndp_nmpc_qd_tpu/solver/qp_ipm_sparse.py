@@ -54,9 +54,16 @@ def sparse_defect(p: SparseQp, consts: SparseQpConsts, zx, zu):
     apq = p.a[:, 0:12].reshape((N, 3, 4) + tail)
     avq = p.a[:, 12:24].reshape((N, 3, 4) + tail)
     aqq = p.a[:, 24:40].reshape((N, 4, 4) + tail)
-    bp = p.b[:, 0:12].reshape((N, 3, 4) + tail)
-    bv = p.b[:, 12:24].reshape((N, 3, 4) + tail)
-    bq = p.b[:, 24:36].reshape((N, 4, 3) + tail)
+    dt_c = p.bc.dtype
+    bp = jnp.concatenate(
+        [p.b[:, 0:9].astype(dt_c).reshape((N, 3, 3) + tail),
+         p.bc[:, 0:3].reshape((N, 3, 1) + tail)], axis=2
+    )
+    bv = jnp.concatenate(
+        [p.b[:, 9:18].astype(dt_c).reshape((N, 3, 3) + tail),
+         p.bc[:, 3:6].reshape((N, 3, 1) + tail)], axis=2
+    )
+    bq = p.b[:, 18:30].astype(dt_c).reshape((N, 4, 3) + tail)
     zq = zx[:N, 6:10]
     zw = zu[:, 0:3]
     out_p = (
@@ -156,7 +163,7 @@ def ipm_sparse(
         # previous solution when the problem barely moved (warm)
         margin = 1e-3 * (p.uu - p.lu)
         zx, zu, _, zx_hold = sweep(
-            p.hq, p.gx, p.gu, p.a, p.b, p.r,
+            p.hq, p.gx, p.gu, p.a, p.b, p.bc, p.r,
             zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
             clip_lo=p.lu + margin, clip_hi=p.uu - margin,
             with_hold=True,  # zero-control rollout rides the same kernel pass
@@ -225,7 +232,7 @@ def ipm_sparse(
             d_zx, d_zu, dsu_lo, dsu_up, dlu_lo, dlu_up,
             dsx_lo, dsx_up, dlx_lo, dlx_up, a_p, a_d, comp4, res2_r,
         ) = riccati_iter_fused(
-            p.hq, p.gx, p.gu, p.a, p.b, p.r, zx, zu,
+            p.hq, p.gx, p.gu, p.a, p.b, p.bc, p.r, zx, zu,
             su_lo, su_up, sx_lo, sx_up, lu_lo, lu_up, lx_lo, lx_up,
             p.lu, p.uu, p.lx, p.ux, mu, dx0_res,
             h=consts.h, diag6_stage=consts.diag6_stage,
@@ -265,7 +272,7 @@ def ipm_sparse(
         dx0_res = dx0_p - zx[:1]
 
         d_zx, d_zu, _rhat = sweep(
-            p.hq, p.gx, p.gu, p.a, p.b, p.r,
+            p.hq, p.gx, p.gu, p.a, p.b, p.bc, p.r,
             zx, zu, sig_u, sig_x, corr_u, corr_x, dx0_res,
         )
 

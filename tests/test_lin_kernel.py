@@ -104,5 +104,6 @@ def test_bf16_jac_dtype(iterates):
     assert qp.hq.dtype == jnp.bfloat16
     assert qp.a.dtype == jnp.bfloat16
     assert qp.b.dtype == jnp.bfloat16
+    assert qp.bc.dtype == xb.dtype  # collective columns stay full precision
     assert qp.gx.dtype == xb.dtype
     assert qp.r.dtype == xb.dtype

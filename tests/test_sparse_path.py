@@ -63,9 +63,8 @@ def lin_pair():
 def test_sparse_blocks_reconstruct_dense(lin_pair):
     cfg, qd, qs, consts, dx0, _ = lin_pair
     a40 = unpack(qs.a, (40,))
-    b36 = unpack(qs.b, (36,))
     A = a_dense_from_sparse(a40, consts.h)
-    B = b_dense_from_sparse(b36)
+    B = b_dense_from_sparse(unpack(qs.b, (30,)), unpack(qs.bc, (6,)))
     np.testing.assert_allclose(np.asarray(A), np.asarray(qd.A), atol=2e-6)
     np.testing.assert_allclose(np.asarray(B), np.asarray(qd.B), atol=2e-6)
     # Hessian: q-block + constant diagonals
@@ -159,7 +158,7 @@ def test_fused_sweep_matches_scan_reference(lin_pair):
     )
 
     dx_k, du_k, rhat_k = riccati_sweep_sparse(
-        qs.hq, qs.gx, qs.gu, qs.a, qs.b, qs.r,
+        qs.hq, qs.gx, qs.gu, qs.a, qs.b, qs.bc, qs.r,
         pack(zx), pack(zu), pack(sig_u), pack(sig_x), pack(corr_u),
         pack(corr_x), dx0_p - pack(zx)[:1],
         h=consts.h, diag6_stage=consts.diag6_stage,
@@ -225,6 +224,8 @@ def test_bf16_jacobian_path(lin_pair):
     cfg, qd, qs32, consts, dx0, dx0_p = lin_pair
     # same linearization point as the fixture, curvature payloads cast down
     # (what make_ocp_functions_sparse(jac_dtype=bf16) emits)
+    # what make_ocp_functions_sparse(jac_dtype=bf16) emits: hq/a/b omega
+    # columns narrowed, bc (collective columns) kept f32
     qs = qs32._replace(
         hq=qs32.hq.astype(jnp.bfloat16),
         a=qs32.a.astype(jnp.bfloat16),
@@ -288,7 +289,7 @@ def test_inkernel_hold_rollout_matches_reference(lin_pair):
     zeros_s3 = jnp.zeros((N + 1, 3) + tail, jnp.float32)
     margin = 1e-3 * (qp_s.uu - qp_s.lu)
     _, _, _, dx_hold = riccati_sweep_sparse(
-        qp_s.hq, qp_s.gx, qp_s.gu, qp_s.a, qp_s.b, qp_s.r,
+        qp_s.hq, qp_s.gx, qp_s.gu, qp_s.a, qp_s.b, qp_s.bc, qp_s.r,
         zeros_sx, zeros_su, zeros_su, zeros_s3, zeros_su, zeros_s3, dx0_p,
         clip_lo=qp_s.lu + margin, clip_hi=qp_s.uu - margin,
         h=consts.h, diag6_stage=consts.diag6_stage,
