@@ -41,11 +41,18 @@ def main():
     # (tools/validate_backends.py --warm-iters 6, 2026-08-18)
     qp_iters = int(os.environ.get("BENCH_QP_ITERS", "6"))
     jac_bf16 = os.environ.get("BENCH_JAC_BF16", "0") == "1"
-    lqr_start = os.environ.get("BENCH_LQR_START", "1") == "1"
+    # whole-solve persistent-VMEM IPM kernel (ops/pallas/ipm_whole.py):
+    # the stage payload streams from HBM once per solve instead of once per
+    # iteration; implies the zero-control start (the validated
+    # equal-accuracy configuration for the warm-started path)
+    whole_ipm = os.environ.get("BENCH_WHOLE_IPM", "1") == "1"
+    lqr_start = (
+        os.environ.get("BENCH_LQR_START", "0" if whole_ipm else "1") == "1"
+    )
     ctl = make_batched_rti_controller(
         cfg.ocp, cfg.vehicle, with_disturbance=True,
         qp_iters=qp_iters, warm_start=True, jac_bf16=jac_bf16,
-        lqr_start=lqr_start,
+        lqr_start=lqr_start, whole_ipm=whole_ipm,
     )
     N = cfg.ocp.N_node
     params = load_npz(
@@ -119,11 +126,31 @@ def main():
     # runtime/nodes.py); B=64 a small co-hosted fleet. p50/p99 vs the 20 ms
     # deadline (`nmpc_node.py:216-220`); details also land in
     # BENCH_DETAILS.json. ---
+    # --- roofline: judge the number against the chip, not against the
+    # reference's 50 solves/s (VERDICT r2 item 2). Bytes/flops are computed
+    # analytically from the kernel layouts (utils/roofline.py). ---
+    from ndp_nmpc_qd_tpu.utils.roofline import roofline_report, step_cost
+
+    cost = step_cost(
+        N=N, qp_iters=qp_iters, jac_bf16=jac_bf16,
+        whole_kernel=whole_ipm, lqr_start=lqr_start,
+    )
+    roof = roofline_report(cost, solves_per_s)
+    print(
+        f"roofline: {roof['hbm_bytes_per_solve']/1e3:.1f} KB/solve -> "
+        f"{roof['achieved_gb_s']} GB/s = {roof['hbm_roofline_pct']}% of "
+        f"v5e HBM peak; ~{roof['achieved_tflops_est']} TFLOP/s VPU est.",
+        file=sys.stderr,
+    )
+
     details = {"throughput": {
         "B": B, "device_step_ms": round(mean * 1e3, 3),
         "solves_per_s": round(solves_per_s, 1),
         "compile_s": round(compile_s, 1),
         "blocking_p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+        "qp_iters": qp_iters, "whole_ipm": whole_ipm,
+        "jac_bf16": jac_bf16, "lqr_start": lqr_start,
+        "roofline": roof,
     }}
     if os.environ.get("BENCH_INTERACTIVE", "1") == "1":
         from ndp_nmpc_qd_tpu.solver.rti import make_rti_controller
@@ -162,6 +189,74 @@ def main():
             print(
                 f"interactive B={Bi}: blocking tick p50={p50:.2f}ms "
                 f"p99={p99:.2f}ms (20 ms budget)",
+                file=sys.stderr,
+            )
+
+            # dispatch-ahead pipelining (the daemon's default on accelerator
+            # devices, runtime/nodes.py): enqueue tick k, block on tick k-1
+            # — one-tick-stale output, the reference's own asynchrony class
+            # (`nmpc_node.py:160-162`). The tick cadence then hides the
+            # host<->device round-trip instead of paying it per tick.
+            prev = None
+            ticks = []
+            for _ in range(200):
+                t0 = time.perf_counter()
+                u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
+                if prev is not None:
+                    jax.block_until_ready(prev)
+                prev = u_i
+                ticks.append(time.perf_counter() - t0)
+            jax.block_until_ready(prev)
+            ticks.sort()
+            p50 = ticks[len(ticks) // 2] * 1e3
+            p99 = ticks[int(len(ticks) * 0.99)] * 1e3
+            details[f"interactive_B{Bi}_pipelined"] = {
+                "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
+                "staleness_ticks": 1,
+            }
+            print(
+                f"interactive B={Bi} pipelined: tick p50={p50:.2f}ms "
+                f"p99={p99:.2f}ms (20 ms budget, 1-tick stale)",
+                file=sys.stderr,
+            )
+
+        # --- the deployed default: CPU-pinned daemon tick (cli.py serves
+        # daemons on CPU unless --device tpu). Same B=1 scan-backend program
+        # as runtime/nodes.py, measured on the in-process CPU device. ---
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                ctl_c = make_rti_controller(
+                    cfg.ocp, cfg.vehicle, with_disturbance=True
+                )
+                x0_c = jax.device_put(x0[0], cpu)
+                xr_c = jax.device_put(xr[0], cpu)
+                ur_c = jax.device_put(ur[0], cpu)
+                f_c = jax.device_put(jnp.zeros((N + 1, 3)), cpu)
+                st_c = ctl_c.reset(xr_c, ur_c)
+                step_c = jax.jit(ctl_c.update)
+                u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
+                jax.block_until_ready(u_c)
+                ticks = []
+                for _ in range(200):
+                    t0 = time.perf_counter()
+                    u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
+                    jax.block_until_ready(u_c)
+                    ticks.append(time.perf_counter() - t0)
+            ticks.sort()
+            p50 = ticks[len(ticks) // 2] * 1e3
+            p99 = ticks[int(len(ticks) * 0.99)] * 1e3
+            details["cpu_daemon_tick"] = {
+                "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
+            }
+            print(
+                f"cpu daemon tick: p50={p50:.2f}ms p99={p99:.2f}ms "
+                f"(20 ms budget)",
                 file=sys.stderr,
             )
     with open(

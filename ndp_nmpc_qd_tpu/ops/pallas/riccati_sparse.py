@@ -92,16 +92,16 @@ def _glue_pair(v, lo, hi, s_lo, s_up, l_lo, l_up, mu):
 
 
 def _terminal_init_core(
-    P_scr, p_scr, hqT_ref, gxT_ref, zxT, sigT, corrT, *, diag6_term
+    P_scr, p_scr, hqT, gxT, zxT, sigT, corrT, *, diag6_term
 ):
     """Terminal Riccati init: P = diag6_term (+) HqT + diag(sigT on v),
-    p = ghat_N. sigT/corrT are 3-tile lists (precomputed or from refs)."""
+    p = ghat_N. hqT (16), gxT (10), sigT/corrT (3) are tile lists."""
     for i in range(NX):
         for j in range(NX):
             P_scr[i * NX + j] = jnp.zeros_like(zxT[0])
     for i in range(6):
         P_scr[i * NX + i] = diag6_term[i] + jnp.zeros_like(zxT[0])
-        p_scr[i] = gxT_ref[0, i] + diag6_term[i] * zxT[i]
+        p_scr[i] = gxT[i] + diag6_term[i] * zxT[i]
     for i in range(3):
         P_scr[(3 + i) * NX + (3 + i)] = (
             P_scr[(3 + i) * NX + (3 + i)] + sigT[i]
@@ -110,11 +110,11 @@ def _terminal_init_core(
     for i in range(4):
         for j in range(4):
             # explicit cast: hq may be stored bf16, scratch is f32
-            P_scr[(6 + i) * NX + (6 + j)] = hqT_ref[0, i * 4 + j].astype(
+            P_scr[(6 + i) * NX + (6 + j)] = hqT[i * 4 + j].astype(
                 zxT[0].dtype
             )
-        p_scr[6 + i] = gxT_ref[0, 6 + i] + sum(
-            hqT_ref[0, i * 4 + j] * zxT[6 + j] for j in range(4)
+        p_scr[6 + i] = gxT[6 + i] + sum(
+            hqT[i * 4 + j] * zxT[6 + j] for j in range(4)
         )
 
 
@@ -132,7 +132,7 @@ def _backward_kernel(
     def _():
         zxT = _vec(zxT_ref, NX)
         _terminal_init_core(
-            P_scr, p_scr, hqT_ref, gxT_ref, zxT,
+            P_scr, p_scr, _vec(hqT_ref, 16), _vec(gxT_ref, NX), zxT,
             [sigxT_ref[0, i] for i in range(3)],
             [corrxT_ref[0, i] for i in range(3)],
             diag6_term=diag6_term,
@@ -153,25 +153,34 @@ def _backward_kernel(
     sig_x = _vec(sigx_ref, 3)
     corr_u = _vec(corru_ref, NU)
     corr_x = _vec(corrx_ref, 3)
-    _riccati_stage_core(
+    K, kf, rh = _riccati_stage_core(
         P, p, P_scr, p_scr, Hq, gx, gu, apq, avq, aqq, bp, bv, bq, r,
         zx, zx1, zu, sig_u, sig_x, corr_u, corr_x,
-        K_out, k_out, rhat_out,
         h=h, diag6_stage=diag6_stage, rdiag_stage=rdiag_stage,
     )
+    _store_stage_gains(K_out, k_out, rhat_out, K, kf, rh)
+
+
+def _store_stage_gains(K_out, k_out, rhat_out, K, kf, rh):
+    for l in range(NU):
+        for kk in range(NX):
+            K_out[0, l * NX + kk] = K[l][kk]
+        k_out[0, l] = kf[l]
+    if rhat_out is not None:
+        for i in range(NX):
+            rhat_out[0, i] = rh[i]
 
 
 def _riccati_stage_core(
     P, p, P_scr, p_scr, Hq, gx, gu, apq, avq, aqq, bp, bv, bq, r,
     zx, zx1, zu, sig_u, sig_x, corr_u, corr_x,
-    K_out, k_out, rhat_out,
     *, h, diag6_stage, rdiag_stage,
 ):
     """One backward Riccati stage on loaded tiles: fused ghat/rhat assembly,
-    structured products, Cholesky gain solve, P/p scratch update, K/k/rhat
-    outputs (rhat_out=None skips the store — the whole-IPM kernel recomputes
-    the defect in its forward pass instead of materializing it). Returns the
-    stage defect tiles rh (for res2 partials)."""
+    structured products, Cholesky gain solve, P/p scratch update. Returns
+    (K, kf, rh) as tile lists — the caller stores them wherever its layout
+    wants (per-stage output blocks here; stage-indexed VMEM scratch in the
+    whole-IPM kernel, `ipm_whole.py`)."""
     zq = zx[6:10]
 
     # ---- fused gradient/defect assembly ----
@@ -203,9 +212,6 @@ def _riccati_stage_core(
             + sum(bq[i][l] * zu[l] for l in range(3))
             + r[6 + i] - zx1[6 + i]
         )
-    if rhat_out is not None:
-        for i in range(NX):
-            rhat_out[0, i] = rh[i]
 
     # ---- structured Riccati stage ----
     Prp = [sum(P[i][j] * rh[j] for j in range(NX)) + p[i] for i in range(NX)]
@@ -284,12 +290,7 @@ def _riccati_stage_core(
         for j in range(NX):
             P_scr[i * NX + j] = 0.5 * (Pn[i][j] + Pn[j][i])
         p_scr[i] = qv[i] + sum(S[l][i] * kf[l] for l in range(NU))
-
-    for l in range(NU):
-        for kk in range(NX):
-            K_out[0, l * NX + kk] = K[l][kk]
-        k_out[0, l] = kf[l]
-    return rh
+    return K, kf, rh
 
 
 def _backward_kernel_glue(
@@ -324,8 +325,8 @@ def _backward_kernel_glue(
             sigT.append(sg)
             corrT.append(co)
         _terminal_init_core(
-            P_scr, p_scr, hqT_ref, gxT_ref, zxT, sigT, corrT,
-            diag6_term=diag6_term,
+            P_scr, p_scr, _vec(hqT_ref, 16), _vec(gxT_ref, NX), zxT,
+            sigT, corrT, diag6_term=diag6_term,
         )
 
     P = [[P_scr[i * NX + j] for j in range(NX)] for i in range(NX)]
@@ -357,12 +358,12 @@ def _backward_kernel_glue(
         sig_x.append(sg)
         corr_x.append(co)
 
-    rh = _riccati_stage_core(
+    K, kf, rh = _riccati_stage_core(
         P, p, P_scr, p_scr, Hq, gx, gu, apq, avq, aqq, bp, bv, bq, r,
         zx, zx1, zu, sig_u, sig_x, corr_u, corr_x,
-        K_out, k_out, rhat_out,
         h=h, diag6_stage=diag6_stage, rdiag_stage=rdiag_stage,
     )
+    _store_stage_gains(K_out, k_out, rhat_out, K, kf, rh)
     res2_out[0, 0] = sum(rh[i] * rh[i] for i in range(NX))
 
 

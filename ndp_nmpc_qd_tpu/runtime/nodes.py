@@ -78,12 +78,23 @@ class ControllerDaemon:
         use_ndp: bool = False,
         companion_ns: str | None = None,
         downwash_params=None,
+        pipeline: bool | None = None,
     ):
         """`leader_ns` makes this a follower of that namespace's horizon.
         `use_ndp` + `companion_ns` makes this an NDP leader forecasting the
         downwash force from `companion_ns`'s published horizon (the
         `NDPLeaderNode.sub_xf_pred_callback` role,
-        `ndp_nmpc_leader_node.py:60-76`)."""
+        `ndp_nmpc_leader_node.py:60-76`).
+
+        `pipeline` enables dispatch-ahead: each tick enqueues its solve and
+        publishes the PREVIOUS tick's command instead of blocking on its own
+        — one-tick-stale output, the same asynchrony class the reference
+        already tolerates between its reference-producer and control-timer
+        threads (`nmpc_node.py:160-162`). This hides the host<->device
+        round-trip (through the axon tunnel a blocking dispatch alone costs
+        ~25 ms > the 20 ms budget; pipelined, ticks complete at the device
+        rate). Default: on for accelerator devices, off on CPU (which meets
+        the deadline blocking and needn't pay the staleness)."""
         import jax
         import jax.numpy as jnp
 
@@ -101,6 +112,11 @@ class ControllerDaemon:
         self.ns = ns
         self.leader_ns = leader_ns
         self.use_ndp = use_ndp
+        self.pipeline = (
+            jax.default_backend() not in ("cpu",)
+            if pipeline is None
+            else pipeline
+        )
         self.t = NodeTopics(ns)
         self.leader_ref = (
             qb.Topic(f"{leader_ns}/ref_x_u", qb.PRED_XU) if leader_ns else None
@@ -244,6 +260,7 @@ class ControllerDaemon:
         n_form = 0
         last_thrust = 0.0
         f_dist = jnp.zeros((N + 1, 3))
+        u0_inflight = None  # dispatch-ahead pipeline slot (see __init__)
 
         def publish_result(status: int):
             """TrackTraj result record (status 1 = succeeded, 2 = preempted,
@@ -357,10 +374,20 @@ class ControllerDaemon:
                     f_dist = jnp.zeros((N + 1, 3))
 
             # --- solve + publish ---
-            u0, state, info = self._update(
+            # dispatch is always asynchronous (JAX returns device futures);
+            # with pipeline=True we publish the PREVIOUS tick's command and
+            # leave this tick's solve in flight — one-tick-stale output, the
+            # reference's own asynchrony class (`nmpc_node.py:160-162`) —
+            # so the tick never waits a full host<->device round-trip.
+            u0_dev, state, info = self._update(
                 state, jnp.asarray(x_now), xr, ur, f_dist
             )
-            u0 = np.asarray(u0)
+            if self.pipeline:
+                out_dev = u0_inflight if u0_inflight is not None else u0_dev
+                u0_inflight = u0_dev
+            else:
+                out_dev = u0_dev
+            u0 = np.asarray(out_dev)
             k_th = float(np.asarray(est.x[1]))
             thrust = float(
                 self._throttle(jnp.asarray(u0[3]), jnp.asarray(k_th), veh.mass)

@@ -124,6 +124,7 @@ def ipm_sparse(
     warm: IpmWarm | None = None,
     lqr_start: bool = True,
     fuse_glue: bool = True,
+    whole_kernel: bool = False,
 ):
     """Returns (zx (N+1,10,tail), zu (N,4,tail), mu (tail), eq_res (tail),
     new_warm: IpmWarm).
@@ -135,6 +136,14 @@ def ipm_sparse(
     current bounds, multipliers and barrier weight carried — scenarios whose
     `warm.mu < 0` (fresh reset) fall back to the cold initialization
     in-graph.
+
+    `whole_kernel=True` runs the ENTIRE solve in one persistent-VMEM Pallas
+    launch (`ops/pallas/ipm_whole.py`): the stage payload streams from HBM
+    once instead of once per iteration. Implies the zero-control start
+    (`lqr_start` is ignored — that is the validated equal-accuracy
+    configuration for the warm-started path, see the note below) and the
+    res2-based equality residual. warm=None is handled by passing the cold
+    sentinel for every lane.
     """
     Np1, nx = p.gx.shape[:2]
     N = Np1 - 1
@@ -142,6 +151,31 @@ def ipm_sparse(
     dt = p.gx.dtype
     nb = p.gx.shape[2]
     tail = (nb, 8, 128)
+
+    if whole_kernel:
+        from ..ops.pallas.ipm_whole import riccati_ipm_whole
+
+        if warm is None:
+            warm = IpmWarm(
+                lu_lo=jnp.zeros((N, nu) + tail, dt),
+                lu_up=jnp.zeros((N, nu) + tail, dt),
+                lx_lo=jnp.zeros((Np1, 3) + tail, dt),
+                lx_up=jnp.zeros((Np1, 3) + tail, dt),
+                mu=jnp.full(tail, -1.0, dt),
+            )
+        zx, zu, lul, luu, lxl, lxu, mu5, eq5 = riccati_ipm_whole(
+            p.hq, p.gx, p.gu, p.a, p.b, p.bc, p.r,
+            p.lu, p.uu, p.lx, p.ux,
+            warm.lu_lo, warm.lu_up, warm.lx_lo, warm.lx_up, warm.mu,
+            dx0_p,
+            h=consts.h, diag6_stage=consts.diag6_stage,
+            diag6_term=consts.diag6_term, rdiag_stage=consts.rdiag_stage,
+            tau=tau, sigma=sigma, mu_init=mu_init, s_min=s_min,
+            mu_min=mu_min, num_iters=num_iters, interpret=interpret,
+        )
+        mu = mu5[0, 0]
+        new_warm = IpmWarm(lu_lo=lul, lu_up=luu, lx_lo=lxl, lx_up=lxu, mu=mu)
+        return zx, zu, mu, eq5[0, 0], new_warm
 
     sweep = functools.partial(
         riccati_sweep_sparse,

@@ -135,6 +135,7 @@ def make_batched_rti_controller(
     mehrotra: bool = False,
     fused_lin: bool = True,
     lqr_start: bool = True,
+    whole_ipm: bool = False,
 ) -> RtiController:
     """Batch-first RTI controller: all arguments carry a leading scenario
     axis B and the QP batch is solved by the structure-sparse fused Pallas
@@ -163,6 +164,13 @@ def make_batched_rti_controller(
     `fused_lin=True` (default, pallas backend) computes the linearization in
     a Pallas kernel as well (`ops/pallas/linearize.py`) — RK4 tangents + GN
     terms emitted directly in kernel layout, no intermediate HBM tensors.
+
+    `whole_ipm=True` (pallas backend) runs the ENTIRE interior-point solve
+    in one persistent-VMEM Pallas launch (`ops/pallas/ipm_whole.py`): the
+    stage payload streams from HBM once per solve instead of once per
+    iteration. Implies the zero-control start (`lqr_start` is ignored on
+    that path); pair with `warm_start=True` — the production bench
+    configuration.
 
     Semantics are otherwise identical to `make_rti_controller` + outer vmap.
     """
@@ -240,6 +248,7 @@ def make_batched_rti_controller(
             return ipm_sparse(
                 qp, sp_consts, dx0_p, num_iters=qp_iters,
                 interpret=interpret, warm=warm, lqr_start=lqr_start,
+                whole_kernel=whole_ipm,
             )
 
     use_warm = warm_start and backend == "pallas"

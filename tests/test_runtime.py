@@ -208,6 +208,48 @@ def test_live_mission_plant_and_controller(ns):
     assert np.isfinite(pose["pos"]).all() and np.isfinite(pose["quat"]).all()
 
 
+def test_live_mission_pipelined_controller(ns):
+    """Dispatch-ahead controller (pipeline=True, the accelerator-device
+    default): publishes one-tick-stale commands — the reference's own
+    asynchrony class (`nmpc_node.py:160-162`). The mission must still track
+    with a small RMSE; the staleness costs at most one 20 ms period of
+    reference lag."""
+    from ndp_nmpc_qd_tpu.runtime.nodes import (
+        ControllerDaemon,
+        PlantDaemon,
+        send_trajectory,
+    )
+    from ndp_nmpc_qd_tpu.traj.polyopt import fit_waypoints
+
+    plant = PlantDaemon(ns)
+    ctl = ControllerDaemon(ns, pipeline=True)
+    assert ctl.pipeline is True
+
+    plant_ready = threading.Event()
+    ctl_ready = threading.Event()
+    t_plant = threading.Thread(
+        target=plant.run, kwargs=dict(max_ticks=4400, ready_event=plant_ready)
+    )
+    t_ctl = threading.Thread(
+        target=ctl.run, kwargs=dict(max_ticks=700, ready_event=ctl_ready)
+    )
+    t_plant.start()
+    plant_ready.wait(10)
+    t_ctl.start()
+    ctl_ready.wait(30)
+
+    wpts = np.stack(
+        [[0, 0.5, 1.0, 0.5, 0.0], [0, 0.5, 0, -0.5, 0], np.ones(5)], axis=-1
+    )
+    traj = fit_waypoints(wpts, np.full(4, 2.0))
+    res, feedback = send_trajectory(ns, traj, goal_id=5, timeout_s=30)
+
+    t_ctl.join(30)
+    t_plant.join(30)
+    assert int(res["status"]) == 1
+    assert float(res["pos_rmse"]) < 0.3, float(res["pos_rmse"])
+
+
 def test_preempt_mid_flight_then_resume(ns):
     """TrackTraj preemption (`nmpc_node.py:165-168`): cancel a goal
     mid-flight -> status=2 result with partial RMSE; the daemon returns to
