@@ -91,8 +91,13 @@ def _matmul(AT, Bm, n, m, k):
 
 
 def _chol4(R):
-    """Cholesky of a 4x4 SPD matrix of (8,128) tiles; returns lower L."""
+    """Cholesky of a 4x4 SPD matrix of (8,128) tiles; returns (lower L,
+    reciprocal diagonal). Divisions are the slow VPU op here — one
+    reciprocal per pivot replaces the per-element divides in the factor AND
+    in every `_chol4_solve` substitution (14 columns x 8 divides/stage in
+    the Riccati sweep become multiplies)."""
     L = [[None] * 4 for _ in range(4)]
+    Ld = [None] * 4
     for i in range(4):
         for j in range(i + 1):
             s = R[i][j]
@@ -100,13 +105,15 @@ def _chol4(R):
                 s = s - L[i][t] * L[j][t]
             if i == j:
                 L[i][j] = jnp.sqrt(s)
+                Ld[i] = 1.0 / L[i][j]
             else:
-                L[i][j] = s / L[j][j]
-    return L
+                L[i][j] = s * Ld[j]
+    return L, Ld
 
 
-def _chol4_solve(L, rhs_cols):
+def _chol4_solve(L_Ld, rhs_cols):
     """Solve (L L^T) X = rhs for each column (list of 4 tiles)."""
+    L, Ld = L_Ld
     out = []
     for col in rhs_cols:
         y = [None] * 4
@@ -114,13 +121,13 @@ def _chol4_solve(L, rhs_cols):
             s = col[i]
             for t in range(i):
                 s = s - L[i][t] * y[t]
-            y[i] = s / L[i][i]
+            y[i] = s * Ld[i]
         x = [None] * 4
         for i in reversed(range(4)):
             s = y[i]
             for t in range(i + 1, 4):
                 s = s - L[t][i] * x[t]
-            x[i] = s / L[i][i]
+            x[i] = s * Ld[i]
         out.append(x)
     return out
 

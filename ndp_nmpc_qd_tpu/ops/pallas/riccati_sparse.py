@@ -74,19 +74,22 @@ def _bt_dot(bp, bv, bq, vec, l):
 def _glue_pair(v, lo, hi, s_lo, s_up, l_lo, l_up, mu):
     """Slack elimination of one two-sided bound row, tile algebra.
 
-    Mirrors `solver/qp_ipm.ipm_corr_terms` exactly; returns (sig, corr,
-    r_lo, r_up, rc_lo, rc_up) so the forward kernel can recover the
-    slack/dual directions without re-materializing these through HBM.
+    Mirrors `solver/qp_ipm.ipm_corr_terms` (one shared reciprocal per slack
+    replaces the four VPU divides — a divide lowers to ~7 ops); returns
+    (sig, corr, r_lo, r_up, rc_lo, rc_up) so the forward kernel can recover
+    the slack/dual directions without re-materializing these through HBM.
     """
     r_lo = v - lo - s_lo
     r_up = hi - v - s_up
     rc_lo = s_lo * l_lo - mu
     rc_up = s_up * l_up - mu
-    sig = l_lo / s_lo + l_up / s_up
+    rs_lo = 1.0 / s_lo
+    rs_up = 1.0 / s_up
+    sig = l_lo * rs_lo + l_up * rs_up
     corr = (
         -l_lo + l_up
-        + (rc_lo + l_lo * r_lo) / s_lo
-        - (rc_up + l_up * r_up) / s_up
+        + (rc_lo + l_lo * r_lo) * rs_lo
+        - (rc_up + l_up * r_up) * rs_up
     )
     return sig, corr, r_lo, r_up, rc_lo, rc_up
 
@@ -238,13 +241,19 @@ def _riccati_stage_core(
         for i in range(NX)
     ]
 
-    # Qh = Hxx + diag(sig) + A^T PA   (rows of A^T from the same structure)
+    # Qh = Hxx + diag(sig) + A^T PA. A^T P A is symmetric (P is kept exactly
+    # symmetric below), so the expensive q-rows (10-term contractions) are
+    # computed only on/above the diagonal and mirrored from the cheap
+    # p/v-rows below it — ~300 of the 400 q-row FMAs vanish.
     Qh = [[None] * NX for _ in range(NX)]
     for j in range(NX):
         for i in range(3):
             Qh[i][j] = PA[i][j]
             Qh[3 + i][j] = h * PA[i][j] + PA[3 + i][j]
-        for i in range(4):
+    for i in range(4):
+        for j in range(6 + i):
+            Qh[6 + i][j] = Qh[j][6 + i]
+        for j in range(6 + i, NX):
             Qh[6 + i][j] = (
                 sum(apq[t][i] * PA[t][j] for t in range(3))
                 + sum(avq[t][i] * PA[3 + t][j] for t in range(3))
@@ -258,9 +267,15 @@ def _riccati_stage_core(
         for j in range(4):
             Qh[6 + i][6 + j] = Qh[6 + i][6 + j] + Hq[i][j]
 
-    # S = B^T PA (4x10); Rh = const-diag + sig_u + B^T PB (4x4)
+    # S = B^T PA (4x10); Rh = const-diag + sig_u + B^T PB (4x4, symmetric:
+    # upper triangle computed, lower mirrored)
     S = [[_bt_dot(bp, bv, bq, [PA[t][j] for t in range(NX)], l) for j in range(NX)] for l in range(NU)]
-    Rh = [[_bt_dot(bp, bv, bq, [PB[t][m] for t in range(NX)], l) for m in range(NU)] for l in range(NU)]
+    Rh = [[None] * NU for _ in range(NU)]
+    for l in range(NU):
+        for m in range(l, NU):
+            Rh[l][m] = _bt_dot(bp, bv, bq, [PB[t][m] for t in range(NX)], l)
+            if m > l:
+                Rh[m][l] = Rh[l][m]
     for l in range(NU):
         Rh[l][l] = Rh[l][l] + (rdiag_stage[l] + sig_u[l])
 
@@ -282,13 +297,17 @@ def _riccati_stage_core(
     K = [[-sols[k][l] for k in range(NX)] for l in range(NU)]
     kf = [-sols[NX][l] for l in range(NU)]
 
-    Pn = [
-        [Qh[i][j] + sum(S[l][i] * K[l][j] for l in range(NU)) for j in range(NX)]
-        for i in range(NX)
-    ]
+    # P_new = Qh + S^T K = Qh - S^T Rh^{-1} S: symmetric by construction, so
+    # only the upper triangle is computed and the lower is mirrored — this
+    # IS the symmetrization (replaces the old 0.5*(Pn + Pn^T) pass and
+    # drops the 180 lower-triangle FMAs of S^T K).
+    Pn = [[None] * NX for _ in range(NX)]
+    for i in range(NX):
+        for j in range(i, NX):
+            Pn[i][j] = Qh[i][j] + sum(S[l][i] * K[l][j] for l in range(NU))
     for i in range(NX):
         for j in range(NX):
-            P_scr[i * NX + j] = 0.5 * (Pn[i][j] + Pn[j][i])
+            P_scr[i * NX + j] = Pn[i][j] if j >= i else Pn[j][i]
         p_scr[i] = qv[i] + sum(S[l][i] * kf[l] for l in range(NU))
     return K, kf, rh
 

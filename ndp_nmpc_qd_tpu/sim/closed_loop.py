@@ -94,6 +94,7 @@ def make_episode(
     solver_warm_start: bool = False,
     solver_jac_bf16: bool = False,
     solver_lqr_start: bool = True,
+    solver_whole_ipm: bool = False,
     swarm_axis_name: str | None = None,
     swarm_shards: int = 1,
     n_groups: int = 1,
@@ -168,6 +169,7 @@ def make_episode(
         ocp, veh, with_disturbance=True, qp_iters=qp_iters,
         backend=solver_backend, warm_start=solver_warm_start,
         jac_bf16=solver_jac_bf16, lqr_start=solver_lqr_start,
+        whole_ipm=solver_whole_ipm,
     )
     D, N = n_drones, ocp.N_node
     S = n_groups

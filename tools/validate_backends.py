@@ -45,6 +45,15 @@ def main():
         help="also validate the bf16-Jacobian warm path",
     )
     ap.add_argument(
+        "--whole-ipm", action="store_true",
+        help="also validate the whole-solve persistent-VMEM IPM kernel "
+        "(ops/pallas/ipm_whole.py; implies the zero-control start)",
+    )
+    ap.add_argument(
+        "--whole-ipm-bf16", action="store_true",
+        help="whole-solve kernel with the split-precision bf16 payload",
+    )
+    ap.add_argument(
         "--drones", type=int, default=1,
         help="3 = the three_qd_ndp topology (leader NDP forecast + "
         "followers + plant downwash coupling); deviations cover ALL drones",
@@ -96,6 +105,29 @@ def main():
                 {
                     "solver_warm_start": True,
                     "qp_iters": args.warm_iters or 6,
+                    "solver_jac_bf16": True,
+                },
+            )
+        )
+    if args.whole_ipm:
+        variants.append(
+            (
+                "pallas_whole",
+                {
+                    "solver_warm_start": True,
+                    "qp_iters": args.warm_iters or 6,
+                    "solver_whole_ipm": True,
+                },
+            )
+        )
+    if args.whole_ipm_bf16:
+        variants.append(
+            (
+                "pallas_whole_bf16",
+                {
+                    "solver_warm_start": True,
+                    "qp_iters": args.warm_iters or 6,
+                    "solver_whole_ipm": True,
                     "solver_jac_bf16": True,
                 },
             )
