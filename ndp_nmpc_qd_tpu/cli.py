@@ -115,6 +115,7 @@ def run_mission(args) -> dict:
             ),
             hold_ticks=args.hold_ticks, qp_iters=args.qp_iters,
             solver_warm_start=args.warm,
+            solver_whole_ipm=args.whole_ipm,
         )
         topology = dict(n_drones=n_swarms * 3)
     else:
@@ -128,7 +129,8 @@ def run_mission(args) -> dict:
 
         init_fn, _, run_fn = make_episode(
             cfg, traj, hold_ticks=args.hold_ticks,
-            solver_warm_start=args.warm, qp_iters=args.qp_iters, **kwargs
+            solver_warm_start=args.warm, qp_iters=args.qp_iters,
+            solver_whole_ipm=args.whole_ipm, **kwargs
         )
     n_ticks = args.hold_ticks + int(args.track_secs / cfg.ocp.ts_nmpc)
 
@@ -246,6 +248,11 @@ def main(argv=None):
         "--warm", action="store_true",
         help="carry QP multipliers across ticks (validated equal-accuracy; "
         "pair with --qp-iters 6)",
+    )
+    mission.add_argument(
+        "--whole-ipm", action="store_true",
+        help="whole-solve persistent-VMEM IPM kernel (the bench production "
+        "path; pair with --warm)",
     )
     mission.add_argument("--qp-iters", type=int, default=12)
     mission.add_argument(
