@@ -35,12 +35,22 @@ def main():
 
     cfg = NdpNmpcConfig()
     # deployment configuration: QP multipliers warm-started across control
-    # ticks (dual warm start), which halves the interior-point iteration
-    # count at equal accuracy — full-mission max control deviation vs the
-    # independent scan backend is 2.7e-5 for BOTH cold@12 and warm@6
-    # (tools/validate_backends.py --warm-iters 6, 2026-08-18)
-    qp_iters = int(os.environ.get("BENCH_QP_ITERS", "6"))
-    jac_bf16 = os.environ.get("BENCH_JAC_BF16", "0") == "1"
+    # ticks (dual warm start). Iteration-count study on the whole-IPM path
+    # (tools/validate_backends.py, 2026-08-20): full-mission max control
+    # deviation vs the independent scan backend is accuracy-FLAT from warm@6
+    # down to warm@3 (whole: 1.9e-6 @6/@5, 1.9e-6 @4, 2.8e-5 @3; bf16:
+    # 5.9e-5 at every count), and the far-regime envelope holds 100/100 to
+    # 100 m at 3-5 iterations (tools/qp_envelope.py). Bench default is
+    # warm@4 — one-step margin above the validated floor; deployment
+    # (cli/daemons) keeps the conservative warm@6.
+    qp_iters = int(os.environ.get("BENCH_QP_ITERS", "4"))
+    # split-precision stage payload (hq/a/b bf16; bc/gx/gu/r f32 — see
+    # `solver/ocp_sparse.py` docstring) is the bench default: validated on
+    # the exact whole-IPM path by tools/validate_backends.py
+    # --whole-ipm-bf16 at 5.9e-5 full-mission max control deviation
+    # (2026-08-20), 17x inside the 1e-3 golden bound, and measured 4.5 ->
+    # 4.2 ms at B=16384 (3.64M -> 3.88M solves/s)
+    jac_bf16 = os.environ.get("BENCH_JAC_BF16", "1") == "1"
     # whole-solve persistent-VMEM IPM kernel (ops/pallas/ipm_whole.py):
     # the stage payload streams from HBM once per solve instead of once per
     # iteration; implies the zero-control start (the validated
@@ -60,13 +70,17 @@ def main():
     )
 
     # operating point: best measured throughput with the device step well
-    # inside the reference's 20 ms control deadline (measured 2026-08-19
-    # with the fused Pallas linearization, warm@6 — device time per step is
-    # 1.16 ms at B=4096, so the axon tunnel's ~2.4 ms/dispatch enqueue cost
-    # now dominates small batches and the operating point moves up:
-    # B=4096 -> 2.4 ms/1.71M solves/s, B=8192 -> 4.1 ms/2.00M,
-    # B=16384 -> 7.8 ms/2.10M, B=32768 -> 16.6 ms/1.97M)
-    B = int(os.environ.get("BENCH_BATCH", "16384"))
+    # inside the reference's 20 ms control deadline. Sweep at the current
+    # config (whole-IPM kernel, bf16 payload, warm@4 — tools/bench_points.py,
+    # 2026-08-20): B=4096 -> 1.9 ms/2.14M solves/s, B=8192 -> 2.4 ms/3.48M,
+    # B=16384 -> 3.4 ms/4.84M, B=32768 -> 6.4 ms/5.16M (optimum, 3x inside
+    # the deadline), B=65536 -> 13.0 ms/5.03M. The per-iteration kernel
+    # path's old B=32768 regression (16.6 ms/1.97M vs 7.8 ms/2.10M at
+    # B=16384, r2 artifact) does NOT reproduce with the whole-solve kernel:
+    # it tracked that path's 6x per-iteration payload re-streaming from HBM,
+    # which the persistent-VMEM kernel removes — scaling is now monotone
+    # through B=32768 with a mild tail-off at 65536.
+    B = int(os.environ.get("BENCH_BATCH", "32768"))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     pos = jax.random.uniform(k1, (B, 3), jnp.float32, -1.0, 1.0)

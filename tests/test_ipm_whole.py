@@ -99,6 +99,39 @@ def test_whole_matches_iter_kernels_warm(qp_case):
     )
 
 
+def test_whole_matches_iter_kernels_bf16_payload(qp_case):
+    """Split-precision payload (hq/a/b bf16, bc/gx/gu/r f32 — the validated
+    `jac_dtype=bf16` mode, `ocp_sparse.py` docstring): the whole-solve kernel
+    must consume the narrow payload and still match the per-iteration kernel
+    path element-level on the SAME bf16 inputs. Accuracy vs the f32 path is
+    validated at mission level by `tools/validate_backends.py
+    --whole-ipm-bf16` (5.9e-5 max control deviation)."""
+    qp, consts, dx0_p = qp_case
+    qp16 = qp._replace(
+        hq=qp.hq.astype(jnp.bfloat16),
+        a=qp.a.astype(jnp.bfloat16),
+        b=qp.b.astype(jnp.bfloat16),
+    )
+    cold = _cold_warm(qp)
+    zx_a, zu_a, mu_a, eq_a, _ = _run(qp16, consts, dx0_p, False, warm=cold)
+    zx_b, zu_b, mu_b, eq_b, _ = _run(qp16, consts, dx0_p, True, warm=cold)
+    np.testing.assert_allclose(np.asarray(zu_a), np.asarray(zu_b), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(zx_a), np.asarray(zx_b), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(eq_a), np.asarray(eq_b), rtol=1e-3, atol=1e-5
+    )
+    # and the narrow payload must actually have moved the direction a little
+    # (guards against silent upcast-at-build): controls differ from the f32
+    # run, but not garbage-level on the 0..27 m/s^2 thrust scale. This is a
+    # single-QP TRANSIENT Newton-direction perturbation (measured 0.09 max
+    # under this fixture's aggressive perturbations); the RTI fixed point is
+    # exact and full-mission control deviation is 5.9e-5
+    # (tools/validate_backends.py --whole-ipm-bf16, 2026-08-20).
+    _, zu_f, _, _, _ = _run(qp, consts, dx0_p, True, warm=cold)
+    d = np.abs(np.asarray(zu_f) - np.asarray(zu_b)).max()
+    assert 0.0 < d < 0.5
+
+
 def test_whole_warm_none_is_cold(qp_case):
     """warm=None must behave as the all-cold sentinel (one-shot solve)."""
     qp, consts, dx0_p = qp_case

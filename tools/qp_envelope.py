@@ -34,6 +34,15 @@ def main():
         "--no-lqr-start", action="store_true",
         help="zero-control-rollout start only (pallas backend)",
     )
+    ap.add_argument(
+        "--whole-ipm", action="store_true",
+        help="whole-solve persistent-VMEM IPM kernel (pallas backend; "
+        "implies the zero-control start)",
+    )
+    ap.add_argument(
+        "--bf16", action="store_true",
+        help="split-precision bf16 stage payload (pallas backend)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -55,7 +64,8 @@ def main():
     ctl = make_batched_rti_controller(
         ocp, veh, with_disturbance=True, qp_iters=args.iters,
         backend=args.backend, warm_start=args.warm, mehrotra=args.mehrotra,
-        lqr_start=not args.no_lqr_start,
+        lqr_start=not (args.no_lqr_start or args.whole_ipm),
+        whole_ipm=args.whole_ipm, jac_bf16=args.bf16,
     )
 
     ds = np.arange(args.step, args.max_d + 1e-9, args.step)
@@ -88,7 +98,9 @@ def main():
                 "iters": args.iters,
                 "backend": args.backend,
                 "warm": args.warm,
-                "lqr_start": not args.no_lqr_start,
+                "lqr_start": not (args.no_lqr_start or args.whole_ipm),
+                "whole_ipm": args.whole_ipm,
+                "bf16": args.bf16,
                 "mehrotra": args.mehrotra,
                 "dtype": str(dtype.__name__),
                 "n_ok": n_ok,
