@@ -167,7 +167,16 @@ def main():
         "roofline": roof,
     }}
     if os.environ.get("BENCH_INTERACTIVE", "1") == "1":
+        import gc
+
         from ndp_nmpc_qd_tpu.solver.rti import make_rti_controller
+
+        # the interactive rows model the ControllerDaemon tick, which runs
+        # with the cyclic GC disabled (runtime/nodes.py real-time GC policy:
+        # per-tick garbage is acyclic; automatic collection caused multi-ms
+        # p99 outliers). Measure under the same policy.
+        gc.collect()
+        gc.disable()
 
         for Bi in (1, 64):
             if Bi == 1:
@@ -253,10 +262,14 @@ def main():
                 f_c = jax.device_put(jnp.zeros((N + 1, 3)), cpu)
                 st_c = ctl_c.reset(xr_c, ur_c)
                 step_c = jax.jit(ctl_c.update)
-                u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
+                # 50 warmup ticks: the first dispatches after compile pay
+                # one-off allocator/runtime warm costs that a long-running
+                # daemon never sees again
+                for _ in range(50):
+                    u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
                 jax.block_until_ready(u_c)
                 ticks = []
-                for _ in range(200):
+                for _ in range(1000):
                     t0 = time.perf_counter()
                     u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
                     jax.block_until_ready(u_c)
@@ -273,6 +286,7 @@ def main():
                 f"(20 ms budget)",
                 file=sys.stderr,
             )
+        gc.enable()
     with open(
         os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w"
     ) as f:

@@ -22,6 +22,7 @@ Topics per namespace `ns` (shared-memory, latest-value):
 
 from __future__ import annotations
 
+import gc
 import time
 from dataclasses import dataclass
 
@@ -273,195 +274,214 @@ class ControllerDaemon:
             res["t"] = qb.now()
             self.t.result.publish(res)
 
+        # Real-time GC policy: CPython's cyclic collector pauses the loop
+        # for multiple ms at unpredictable ticks — observed as p99 deadline
+        # outliers in the tick-latency bench. Per-tick garbage here is
+        # acyclic (freed immediately by refcounting), so the control loop
+        # runs with automatic collection disabled and collects explicitly
+        # only while idle (hold-position, no active goal). The reference's
+        # rospy loop has the same hazard and merely warns on overrun
+        # (`nmpc_node.py:216-220`).
+        gc_was_enabled = gc.isenabled()
+        gc.collect()
+        gc.disable()
         rate = qb.Rate(ocp.ts_nmpc)
         if ready_event is not None:
             ready_event.set()
         tick = 0
-        while max_ticks == 0 or tick < max_ticks:
-            tick += 1
-            overrun = rate.sleep()
+        try:
+            while max_ticks == 0 or tick < max_ticks:
+                tick += 1
+                overrun = rate.sleep()
+                if traj is None and tick % 250 == 0:
+                    gc.collect()  # idle housekeeping (~every 5 s of hold)
 
-            seq, odom = self.t.odom.read_latest()
-            x_now = _odom_to_x(odom)
+                seq, odom = self.t.odom.read_latest()
+                x_now = _odom_to_x(odom)
 
-            # --- preempt check (the actionlib cancel channel; the reference
-            # checks is_preempt_requested every loop and publishes
-            # set_preempted, `nmpc_node.py:165-168`). On preempt the
-            # references stop advancing — the controller converges to the
-            # last published horizon, exactly the reference's frozen-ref
-            # behavior — and the estimator timer restarts. ---
-            if self.t.cancel.count > cancel_seq_seen:
-                cancel_seq_seen = self.t.cancel.count
-                _, cmsg = self.t.cancel.read_latest()
-                cancel_id = int(cmsg["goal_id"])
-                if traj is not None and cancel_id in (-1, goal_id):
-                    publish_result(2)
-                    traj = None
-                    est_active = True
+                # --- preempt check (the actionlib cancel channel; the reference
+                # checks is_preempt_requested every loop and publishes
+                # set_preempted, `nmpc_node.py:165-168`). On preempt the
+                # references stop advancing — the controller converges to the
+                # last published horizon, exactly the reference's frozen-ref
+                # behavior — and the estimator timer restarts. ---
+                if self.t.cancel.count > cancel_seq_seen:
+                    cancel_seq_seen = self.t.cancel.count
+                    _, cmsg = self.t.cancel.read_latest()
+                    cancel_id = int(cmsg["goal_id"])
+                    if traj is not None and cancel_id in (-1, goal_id):
+                        publish_result(2)
+                        traj = None
+                        est_active = True
 
-            # --- goal intake (the action server role). A new goal while one
-            # is active SUPERSEDES it: the old goal gets a status=2 result
-            # (actionlib's preempt-on-new-goal semantics). ---
-            if self.t.goal.count > goal_seq_seen:
-                goal_seq_seen = self.t.goal.count
-                _, gmsg = self.t.goal.read_latest()
+                # --- goal intake (the action server role). A new goal while one
+                # is active SUPERSEDES it: the old goal gets a status=2 result
+                # (actionlib's preempt-on-new-goal semantics). ---
+                if self.t.goal.count > goal_seq_seen:
+                    goal_seq_seen = self.t.goal.count
+                    _, gmsg = self.t.goal.read_latest()
+                    if traj is not None:
+                        publish_result(2)
+                    traj = qb.msg_to_traj(gmsg)
+                    goal_id = int(gmsg["goal_id"])
+                    err2[:] = 0.0
+                    n_err = 0
+                    est_active = False  # estimator frozen while tracking
+                    # reset the controller from the new reference (anti warm
+                    # start). The per-trajectory reference function was AOT
+                    # compiled at daemon startup for the padded MAX_SEG shape, so
+                    # no jit stall happens here; the mission clock starts
+                    # immediately (the reference's is_build_acados=False prebuilt
+                    # path, `nmpc_leader_node.py:28`).
+                    goal_rx_t = qb.now()
+                    self._traj_arrays = self._pad_traj(traj)
+                    xr, ur = self._refs_at(0.0)
+                    state = self.ctl.reset(xr, ur)
+                    traj_t0 = qb.now()
+                    self.goal_to_first_cmd_s = -goal_rx_t  # completed post-publish
+
+                # --- reference selection ---
                 if traj is not None:
-                    publish_result(2)
-                traj = qb.msg_to_traj(gmsg)
-                goal_id = int(gmsg["goal_id"])
-                err2[:] = 0.0
-                n_err = 0
-                est_active = False  # estimator frozen while tracking
-                # reset the controller from the new reference (anti warm
-                # start). The per-trajectory reference function was AOT
-                # compiled at daemon startup for the padded MAX_SEG shape, so
-                # no jit stall happens here; the mission clock starts
-                # immediately (the reference's is_build_acados=False prebuilt
-                # path, `nmpc_leader_node.py:28`).
-                goal_rx_t = qb.now()
-                self._traj_arrays = self._pad_traj(traj)
-                xr, ur = self._refs_at(0.0)
-                state = self.ctl.reset(xr, ur)
-                traj_t0 = qb.now()
-                self.goal_to_first_cmd_s = -goal_rx_t  # completed post-publish
+                    tt = qb.now() - traj_t0
+                    t_all = float(traj.t_cum[-1])
+                    xr, ur = self._refs_at(tt)
+                    if tt >= t_all:  # finished: result + back to hold
+                        publish_result(1)
+                        traj = None
+                        est_active = True
+                        gc.collect()  # safe: tracking over, back to hold
+                elif self.leader_ref is not None:
+                    lseq, lmsg = self.leader_ref.read_latest()
+                    fseq, fmsg = self.t.formation_ref.read_latest()
+                    off = fmsg["xyz"] if fseq > 0 else np.zeros(3)
+                    lpf_off = (
+                        off
+                        if lpf_off is None
+                        else self._alpha * lpf_off + (1 - self._alpha) * off
+                    )
+                    if lseq > 0:
+                        xr = jnp.asarray(lmsg["x"]).at[:, 0:3].add(
+                            jnp.asarray(lpf_off)
+                        )
+                        ur = jnp.asarray(lmsg["u"])
+                        # online formation-error feedback: the running RMSE of
+                        # actual position vs the offset reference's first node
+                        # (`nmpc_follower_node.py:79-94` logs exactly this)
+                        fe2 = float(
+                            np.sum((lmsg["x"][0, 0:3] + lpf_off - x_now[0:3]) ** 2)
+                        )
+                        form_err2 += fe2
+                        n_form += 1
+                        fm = np.zeros((), qb.FORM_ERROR)
+                        fm["t"] = qb.now()
+                        fm["err2"] = fe2
+                        fm["rmse"] = np.sqrt(form_err2 / n_form)
+                        fm["n"] = n_form
+                        self.t.formation_err.publish(fm)
 
-            # --- reference selection ---
-            if traj is not None:
-                tt = qb.now() - traj_t0
-                t_all = float(traj.t_cum[-1])
-                xr, ur = self._refs_at(tt)
-                if tt >= t_all:  # finished: result + back to hold
-                    publish_result(1)
-                    traj = None
-                    est_active = True
-            elif self.leader_ref is not None:
-                lseq, lmsg = self.leader_ref.read_latest()
-                fseq, fmsg = self.t.formation_ref.read_latest()
-                off = fmsg["xyz"] if fseq > 0 else np.zeros(3)
-                lpf_off = (
-                    off
-                    if lpf_off is None
-                    else self._alpha * lpf_off + (1 - self._alpha) * off
+                # --- NDP disturbance forecast from the companion's horizon ---
+                if self.companion_ref is not None:
+                    cseq, cmsg = self.companion_ref.read_latest()
+                    if cseq > 0:
+                        f_dist = self._predict(
+                            jnp.asarray(cmsg["x"]), xr, jnp.asarray(x_now[0:3])
+                        )
+                    else:
+                        f_dist = jnp.zeros((N + 1, 3))
+
+                # --- solve + publish ---
+                # dispatch is always asynchronous (JAX returns device futures);
+                # with pipeline=True we publish the PREVIOUS tick's command and
+                # leave this tick's solve in flight — one-tick-stale output, the
+                # reference's own asynchrony class (`nmpc_node.py:160-162`) —
+                # so the tick never waits a full host<->device round-trip.
+                u0_dev, state, info = self._update(
+                    state, jnp.asarray(x_now), xr, ur, f_dist
                 )
-                if lseq > 0:
-                    xr = jnp.asarray(lmsg["x"]).at[:, 0:3].add(
-                        jnp.asarray(lpf_off)
-                    )
-                    ur = jnp.asarray(lmsg["u"])
-                    # online formation-error feedback: the running RMSE of
-                    # actual position vs the offset reference's first node
-                    # (`nmpc_follower_node.py:79-94` logs exactly this)
-                    fe2 = float(
-                        np.sum((lmsg["x"][0, 0:3] + lpf_off - x_now[0:3]) ** 2)
-                    )
-                    form_err2 += fe2
-                    n_form += 1
-                    fm = np.zeros((), qb.FORM_ERROR)
-                    fm["t"] = qb.now()
-                    fm["err2"] = fe2
-                    fm["rmse"] = np.sqrt(form_err2 / n_form)
-                    fm["n"] = n_form
-                    self.t.formation_err.publish(fm)
-
-            # --- NDP disturbance forecast from the companion's horizon ---
-            if self.companion_ref is not None:
-                cseq, cmsg = self.companion_ref.read_latest()
-                if cseq > 0:
-                    f_dist = self._predict(
-                        jnp.asarray(cmsg["x"]), xr, jnp.asarray(x_now[0:3])
-                    )
+                if self.pipeline:
+                    out_dev = u0_inflight if u0_inflight is not None else u0_dev
+                    u0_inflight = u0_dev
                 else:
-                    f_dist = jnp.zeros((N + 1, 3))
-
-            # --- solve + publish ---
-            # dispatch is always asynchronous (JAX returns device futures);
-            # with pipeline=True we publish the PREVIOUS tick's command and
-            # leave this tick's solve in flight — one-tick-stale output, the
-            # reference's own asynchrony class (`nmpc_node.py:160-162`) —
-            # so the tick never waits a full host<->device round-trip.
-            u0_dev, state, info = self._update(
-                state, jnp.asarray(x_now), xr, ur, f_dist
-            )
-            if self.pipeline:
-                out_dev = u0_inflight if u0_inflight is not None else u0_dev
-                u0_inflight = u0_dev
-            else:
-                out_dev = u0_dev
-            u0 = np.asarray(out_dev)
-            k_th = float(np.asarray(est.x[1]))
-            thrust = float(
-                self._throttle(jnp.asarray(u0[3]), jnp.asarray(k_th), veh.mass)
-            )
-            att = np.zeros((), qb.ATTITUDE_TARGET)
-            att["t"] = qb.now()
-            att["body_rate"] = u0[0:3]
-            att["thrust"] = thrust
-            att["type_mask"] = 128  # IGNORE_ATTITUDE
-            self.t.att.publish(att)
-            last_thrust = thrust
-            if self.goal_to_first_cmd_s is not None and self.goal_to_first_cmd_s < 0:
-                # first command after a goal: close the latency measurement
-                self.goal_to_first_cmd_s += qb.now()
-
-            pred = np.zeros((), qb.PRED_XU)
-            pred["t"] = qb.now()
-            pred["x"] = np.asarray(xr)
-            pred["u"] = np.asarray(ur)
-            self.t.ref_x_u.publish(pred)
-
-            # predicted-horizon viz at ~20 Hz: the solver's internal iterates
-            # with normalized quaternions (viz_nmpc_pred_callback,
-            # nmpc_node.py:233-249)
-            if tick % 3 == 0:
-                viz = np.zeros((), qb.PRED_XU)
-                viz["t"] = qb.now()
-                xb = np.asarray(state.x_bar)
-                qn = np.linalg.norm(xb[:, 6:10], axis=-1, keepdims=True)
-                xb = np.concatenate(
-                    [xb[:, 0:6], xb[:, 6:10] / np.maximum(qn, 1e-9)], axis=-1
+                    out_dev = u0_dev
+                u0 = np.asarray(out_dev)
+                k_th = float(np.asarray(est.x[1]))
+                thrust = float(
+                    self._throttle(jnp.asarray(u0[3]), jnp.asarray(k_th), veh.mass)
                 )
-                viz["x"] = xb
-                viz["u"] = np.asarray(state.u_bar)
-                self.t.viz_pred.publish(viz)
+                att = np.zeros((), qb.ATTITUDE_TARGET)
+                att["t"] = qb.now()
+                att["body_rate"] = u0[0:3]
+                att["thrust"] = thrust
+                att["type_mask"] = 128  # IGNORE_ATTITUDE
+                self.t.att.publish(att)
+                last_thrust = thrust
+                if self.goal_to_first_cmd_s is not None and self.goal_to_first_cmd_s < 0:
+                    # first command after a goal: close the latency measurement
+                    self.goal_to_first_cmd_s += qb.now()
 
-                # pose broadcast: the tf2 TransformBroadcaster role
-                # (`nmpc_node.py` broadcasts the vehicle frame alongside
-                # viz_pred) — the current odom pose for external consumers
-                ps = np.zeros((), qb.POSE)
-                ps["t"] = qb.now()
-                ps["pos"] = x_now[0:3]
-                ps["quat"] = x_now[6:10]
-                self.t.pose.publish(ps)
+                pred = np.zeros((), qb.PRED_XU)
+                pred["t"] = qb.now()
+                pred["x"] = np.asarray(xr)
+                pred["u"] = np.asarray(ur)
+                self.t.ref_x_u.publish(pred)
 
-            # --- estimator tick (gated like the reference timer) ---
-            if est_active:
-                est, _ = self._hv_update(
-                    est, jnp.asarray(float(x_now[5])), jnp.asarray(last_thrust)
-                )
+                # predicted-horizon viz at ~20 Hz: the solver's internal iterates
+                # with normalized quaternions (viz_nmpc_pred_callback,
+                # nmpc_node.py:233-249)
+                if tick % 3 == 0:
+                    viz = np.zeros((), qb.PRED_XU)
+                    viz["t"] = qb.now()
+                    xb = np.asarray(state.x_bar)
+                    qn = np.linalg.norm(xb[:, 6:10], axis=-1, keepdims=True)
+                    xb = np.concatenate(
+                        [xb[:, 0:6], xb[:, 6:10] / np.maximum(qn, 1e-9)], axis=-1
+                    )
+                    viz["x"] = xb
+                    viz["u"] = np.asarray(state.u_bar)
+                    self.t.viz_pred.publish(viz)
 
-            # --- tracking error + feedback ---
-            if traj is not None:
-                from ..traj.polyopt import eval_traj
+                    # pose broadcast: the tf2 TransformBroadcaster role
+                    # (`nmpc_node.py` broadcasts the vehicle frame alongside
+                    # viz_pred) — the current odom pose for external consumers
+                    ps = np.zeros((), qb.POSE)
+                    ps["t"] = qb.now()
+                    ps["pos"] = x_now[0:3]
+                    ps["quat"] = x_now[6:10]
+                    self.t.pose.publish(ps)
 
-                fo = eval_traj(traj, jnp.asarray(qb.now() - traj_t0))
-                pe = float(np.sum((np.asarray(fo.pos) - x_now[0:3]) ** 2))
-                q = x_now[6:10]
-                yaw_now = np.arctan2(
-                    2 * (q[0] * q[3] + q[1] * q[2]),
-                    1 - 2 * (q[2] ** 2 + q[3] ** 2),
-                )
-                ye = float(np.degrees(float(fo.yaw) - yaw_now) ** 2)
-                err2 += [pe, ye]
-                n_err += 1
-                fb = np.zeros((), qb.TRACK_FEEDBACK)
-                fb["t"] = qb.now()
-                fb["goal_id"] = goal_id
-                fb["percent_complete"] = min(
-                    (qb.now() - traj_t0) / float(traj.t_cum[-1]), 1.0
-                )
-                fb["pos_error"] = pe
-                fb["yaw_error"] = ye
-                self.t.feedback.publish(fb)
+                # --- estimator tick (gated like the reference timer) ---
+                if est_active:
+                    est, _ = self._hv_update(
+                        est, jnp.asarray(float(x_now[5])), jnp.asarray(last_thrust)
+                    )
+
+                # --- tracking error + feedback ---
+                if traj is not None:
+                    from ..traj.polyopt import eval_traj
+
+                    fo = eval_traj(traj, jnp.asarray(qb.now() - traj_t0))
+                    pe = float(np.sum((np.asarray(fo.pos) - x_now[0:3]) ** 2))
+                    q = x_now[6:10]
+                    yaw_now = np.arctan2(
+                        2 * (q[0] * q[3] + q[1] * q[2]),
+                        1 - 2 * (q[2] ** 2 + q[3] ** 2),
+                    )
+                    ye = float(np.degrees(float(fo.yaw) - yaw_now) ** 2)
+                    err2 += [pe, ye]
+                    n_err += 1
+                    fb = np.zeros((), qb.TRACK_FEEDBACK)
+                    fb["t"] = qb.now()
+                    fb["goal_id"] = goal_id
+                    fb["percent_complete"] = min(
+                        (qb.now() - traj_t0) / float(traj.t_cum[-1]), 1.0
+                    )
+                    fb["pos_error"] = pe
+                    fb["yaw_error"] = ye
+                    self.t.feedback.publish(fb)
+
+        finally:
+            if gc_was_enabled:
+                gc.enable()
 
         return dict(
             ticks=rate.ticks,
