@@ -206,6 +206,12 @@ def test_live_mission_plant_and_controller(ns):
     pseq, pose = ctl.t.pose.read_latest()
     assert pseq > 0
     assert np.isfinite(pose["pos"]).all() and np.isfinite(pose["quat"]).all()
+    # the real-time GC policy (collector off during the loop) must restore
+    # the interpreter-wide state on exit — in-process callers like this test
+    # would otherwise silently lose cyclic collection
+    import gc
+
+    assert gc.isenabled()
 
 
 def test_live_mission_pipelined_controller(ns):
