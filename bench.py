@@ -194,7 +194,8 @@ def main():
                 f_i = jnp.zeros((Bi, N + 1, 3))
             st_i = ctl_i.reset(xr_i, ur_i)
             step_i = jax.jit(ctl_i.update)
-            u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
+            for _ in range(10):
+                u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
             jax.block_until_ready(u_i)
             ticks = []
             for _ in range(200):
@@ -287,10 +288,17 @@ def main():
                 file=sys.stderr,
             )
         gc.enable()
-    with open(
-        os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w"
-    ) as f:
-        json.dump(details, f, indent=1)
+    # merge-update the details artifact: a BENCH_INTERACTIVE=0 run must not
+    # drop the interactive rows captured by a previous full run
+    details_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")
+    try:
+        with open(details_path) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(details)
+    with open(details_path, "w") as f:
+        json.dump(merged, f, indent=1)
 
     print(
         json.dumps(
