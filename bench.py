@@ -59,10 +59,16 @@ def main():
     lqr_start = (
         os.environ.get("BENCH_LQR_START", "0" if whole_ipm else "1") == "1"
     )
+    # kernel-layout-resident RtiState (solver/rti.py packed_state): iterates
+    # + carried duals stay in kernel layout across ticks; the whole-IPM
+    # kernel folds the SQP axpy and emits updated iterates directly — the
+    # pack/rti_glue layout traffic (34% of r3's HBM bytes/solve) disappears
+    # (VERDICT r3 item 2). Element parity: tests/test_packed_state.py.
+    packed_state = os.environ.get("BENCH_PACKED_STATE", "1") == "1"
     ctl = make_batched_rti_controller(
         cfg.ocp, cfg.vehicle, with_disturbance=True,
         qp_iters=qp_iters, warm_start=True, jac_bf16=jac_bf16,
-        lqr_start=lqr_start, whole_ipm=whole_ipm,
+        lqr_start=lqr_start, whole_ipm=whole_ipm, packed_state=packed_state,
     )
     N = cfg.ocp.N_node
     params = load_npz(
@@ -134,6 +140,57 @@ def main():
         file=sys.stderr,
     )
 
+    # --- multi-device scaling (VERDICT r3 item 7): the SAME flagship step
+    # shard_mapped over ALL local devices along the scenario axis
+    # (parallel/batch_step.py). One chip degenerates to the number above;
+    # on a pod this measures solves/s/chip scaling with zero new code. ---
+    sharded_row = None
+    if os.environ.get("BENCH_SHARDED", "1") == "1":
+        from ndp_nmpc_qd_tpu.parallel.batch_step import (
+            data_mesh,
+            make_sharded_step,
+        )
+
+        mesh = data_mesh()
+        nd = int(mesh.devices.size)
+        shardable = B % nd == 0 and (
+            not packed_state or (B // nd) % 1024 == 0
+        )
+        if shardable:
+            args0 = (rti, x0, xr, ur, other)
+            sfn, place = make_sharded_step(control_step, mesh, args0)
+            rti_s, x0_s, xr_s, ur_s, other_s = place(args0)
+            u0s, rti_s, info_s = sfn(rti_s, x0_s, xr_s, ur_s, other_s)
+            jax.block_until_ready(u0s)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                u0s, rti_s, info_s = sfn(rti_s, x0_s, xr_s, ur_s, other_s)
+            jax.block_until_ready(u0s)
+            mean_s = (time.perf_counter() - t0) / iters
+            sps_sharded = B / mean_s
+            sharded_row = {
+                "n_devices": nd,
+                "B_global": B,
+                "solves_per_s": round(sps_sharded, 1),
+                "solves_per_s_per_device": round(sps_sharded / nd, 1),
+                "scaling_efficiency_vs_single": round(
+                    sps_sharded / (nd * solves_per_s), 3
+                ),
+                "ok": int(jnp.sum(info_s.ok)),
+            }
+            print(
+                f"sharded over {nd} device(s): {sps_sharded:.0f} solves/s "
+                f"({sps_sharded/nd:.0f}/device, "
+                f"eff={sps_sharded/(nd*solves_per_s):.2f} vs single)",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"sharded: skipped (B={B} not block-divisible over "
+                f"{nd} devices)",
+                file=sys.stderr,
+            )
+
     # --- interactive (ControllerDaemon-shaped) tick: ONE blocking dispatch
     # per 20 ms control period, state chained tick to tick (VERDICT r1 item
     # 3). B=1 is the per-drone daemon program (scan backend, like
@@ -148,6 +205,7 @@ def main():
     cost = step_cost(
         N=N, qp_iters=qp_iters, jac_bf16=jac_bf16,
         whole_kernel=whole_ipm, lqr_start=lqr_start,
+        packed_state=packed_state,
     )
     roof = roofline_report(cost, solves_per_s)
     print(
@@ -164,8 +222,11 @@ def main():
         "blocking_p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
         "qp_iters": qp_iters, "whole_ipm": whole_ipm,
         "jac_bf16": jac_bf16, "lqr_start": lqr_start,
+        "packed_state": packed_state,
         "roofline": roof,
     }}
+    if sharded_row is not None:
+        details["sharded"] = sharded_row
     if os.environ.get("BENCH_INTERACTIVE", "1") == "1":
         import gc
 
@@ -174,120 +235,134 @@ def main():
         # the interactive rows model the ControllerDaemon tick, which runs
         # with the cyclic GC disabled (runtime/nodes.py real-time GC policy:
         # per-tick garbage is acyclic; automatic collection caused multi-ms
-        # p99 outliers). Measure under the same policy.
+        # p99 outliers). Measure under the same policy; restore it even if a
+        # section raises (ADVICE r3).
+        gc_was_enabled = gc.isenabled()
         gc.collect()
         gc.disable()
 
-        for Bi in (1, 64):
-            if Bi == 1:
-                ctl_i = make_rti_controller(
-                    cfg.ocp, cfg.vehicle, with_disturbance=True
-                )
-                x0_i, xr_i, ur_i = x0[0], xr[0], ur[0]
-                f_i = jnp.zeros((N + 1, 3))
-            else:
-                ctl_i = make_batched_rti_controller(
-                    cfg.ocp, cfg.vehicle, with_disturbance=True,
-                    backend="jax",
-                )
-                x0_i, xr_i, ur_i = x0[:Bi], xr[:Bi], ur[:Bi]
-                f_i = jnp.zeros((Bi, N + 1, 3))
-            st_i = ctl_i.reset(xr_i, ur_i)
-            step_i = jax.jit(ctl_i.update)
-            for _ in range(10):
-                u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
-            jax.block_until_ready(u_i)
-            ticks = []
-            for _ in range(200):
-                t0 = time.perf_counter()
-                u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
-                jax.block_until_ready(u_i)
-                ticks.append(time.perf_counter() - t0)
-            ticks.sort()
-            p50 = ticks[len(ticks) // 2] * 1e3
-            p99 = ticks[int(len(ticks) * 0.99)] * 1e3
-            details[f"interactive_B{Bi}"] = {
-                "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
-                "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
-            }
-            print(
-                f"interactive B={Bi}: blocking tick p50={p50:.2f}ms "
-                f"p99={p99:.2f}ms (20 ms budget)",
-                file=sys.stderr,
-            )
+        def prov(samples):
+            # per-row measurement provenance (ADVICE r3: merged
+            # BENCH_DETAILS rows must say how they were measured)
+            return {"samples": samples, "gc_disabled": True,
+                    "device": str(jax.devices()[0].platform)}
 
-            # dispatch-ahead pipelining (the daemon's default on accelerator
-            # devices, runtime/nodes.py): enqueue tick k, block on tick k-1
-            # — one-tick-stale output, the reference's own asynchrony class
-            # (`nmpc_node.py:160-162`). The tick cadence then hides the
-            # host<->device round-trip instead of paying it per tick.
-            prev = None
-            ticks = []
-            for _ in range(200):
-                t0 = time.perf_counter()
-                u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
-                if prev is not None:
-                    jax.block_until_ready(prev)
-                prev = u_i
-                ticks.append(time.perf_counter() - t0)
-            jax.block_until_ready(prev)
-            ticks.sort()
-            p50 = ticks[len(ticks) // 2] * 1e3
-            p99 = ticks[int(len(ticks) * 0.99)] * 1e3
-            details[f"interactive_B{Bi}_pipelined"] = {
-                "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
-                "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
-                "staleness_ticks": 1,
-            }
-            print(
-                f"interactive B={Bi} pipelined: tick p50={p50:.2f}ms "
-                f"p99={p99:.2f}ms (20 ms budget, 1-tick stale)",
-                file=sys.stderr,
-            )
-
-        # --- the deployed default: CPU-pinned daemon tick (cli.py serves
-        # daemons on CPU unless --device tpu). Same B=1 scan-backend program
-        # as runtime/nodes.py, measured on the in-process CPU device. ---
         try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                ctl_c = make_rti_controller(
-                    cfg.ocp, cfg.vehicle, with_disturbance=True
-                )
-                x0_c = jax.device_put(x0[0], cpu)
-                xr_c = jax.device_put(xr[0], cpu)
-                ur_c = jax.device_put(ur[0], cpu)
-                f_c = jax.device_put(jnp.zeros((N + 1, 3)), cpu)
-                st_c = ctl_c.reset(xr_c, ur_c)
-                step_c = jax.jit(ctl_c.update)
-                # 50 warmup ticks: the first dispatches after compile pay
-                # one-off allocator/runtime warm costs that a long-running
-                # daemon never sees again
-                for _ in range(50):
-                    u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
-                jax.block_until_ready(u_c)
+            for Bi in (1, 64):
+                if Bi == 1:
+                    ctl_i = make_rti_controller(
+                        cfg.ocp, cfg.vehicle, with_disturbance=True
+                    )
+                    x0_i, xr_i, ur_i = x0[0], xr[0], ur[0]
+                    f_i = jnp.zeros((N + 1, 3))
+                else:
+                    ctl_i = make_batched_rti_controller(
+                        cfg.ocp, cfg.vehicle, with_disturbance=True,
+                        backend="jax",
+                    )
+                    x0_i, xr_i, ur_i = x0[:Bi], xr[:Bi], ur[:Bi]
+                    f_i = jnp.zeros((Bi, N + 1, 3))
+                st_i = ctl_i.reset(xr_i, ur_i)
+                step_i = jax.jit(ctl_i.update)
+                for _ in range(10):
+                    u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
+                jax.block_until_ready(u_i)
                 ticks = []
-                for _ in range(1000):
+                for _ in range(200):
                     t0 = time.perf_counter()
-                    u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
-                    jax.block_until_ready(u_c)
+                    u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
+                    jax.block_until_ready(u_i)
                     ticks.append(time.perf_counter() - t0)
-            ticks.sort()
-            p50 = ticks[len(ticks) // 2] * 1e3
-            p99 = ticks[int(len(ticks) * 0.99)] * 1e3
-            details["cpu_daemon_tick"] = {
-                "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
-                "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
-            }
-            print(
-                f"cpu daemon tick: p50={p50:.2f}ms p99={p99:.2f}ms "
-                f"(20 ms budget)",
-                file=sys.stderr,
-            )
-        gc.enable()
+                ticks.sort()
+                p50 = ticks[len(ticks) // 2] * 1e3
+                p99 = ticks[int(len(ticks) * 0.99)] * 1e3
+                details[f"interactive_B{Bi}"] = {
+                    "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                    "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
+                    **prov(200),
+                }
+                print(
+                    f"interactive B={Bi}: blocking tick p50={p50:.2f}ms "
+                    f"p99={p99:.2f}ms (20 ms budget)",
+                    file=sys.stderr,
+                )
+
+                # dispatch-ahead pipelining (the daemon's default on accelerator
+                # devices, runtime/nodes.py): enqueue tick k, block on tick k-1
+                # — one-tick-stale output, the reference's own asynchrony class
+                # (`nmpc_node.py:160-162`). The tick cadence then hides the
+                # host<->device round-trip instead of paying it per tick.
+                prev = None
+                ticks = []
+                for _ in range(200):
+                    t0 = time.perf_counter()
+                    u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
+                    if prev is not None:
+                        jax.block_until_ready(prev)
+                    prev = u_i
+                    ticks.append(time.perf_counter() - t0)
+                jax.block_until_ready(prev)
+                ticks.sort()
+                p50 = ticks[len(ticks) // 2] * 1e3
+                p99 = ticks[int(len(ticks) * 0.99)] * 1e3
+                details[f"interactive_B{Bi}_pipelined"] = {
+                    "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                    "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
+                    "staleness_ticks": 1,
+                    **prov(200),
+                }
+                print(
+                    f"interactive B={Bi} pipelined: tick p50={p50:.2f}ms "
+                    f"p99={p99:.2f}ms (20 ms budget, 1-tick stale)",
+                    file=sys.stderr,
+                )
+
+            # --- the deployed default: CPU-pinned daemon tick (cli.py serves
+            # daemons on CPU unless --device tpu). Same B=1 scan-backend program
+            # as runtime/nodes.py, measured on the in-process CPU device. ---
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    ctl_c = make_rti_controller(
+                        cfg.ocp, cfg.vehicle, with_disturbance=True
+                    )
+                    x0_c = jax.device_put(x0[0], cpu)
+                    xr_c = jax.device_put(xr[0], cpu)
+                    ur_c = jax.device_put(ur[0], cpu)
+                    f_c = jax.device_put(jnp.zeros((N + 1, 3)), cpu)
+                    st_c = ctl_c.reset(xr_c, ur_c)
+                    step_c = jax.jit(ctl_c.update)
+                    # 50 warmup ticks: the first dispatches after compile pay
+                    # one-off allocator/runtime warm costs that a long-running
+                    # daemon never sees again
+                    for _ in range(50):
+                        u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
+                    jax.block_until_ready(u_c)
+                    ticks = []
+                    for _ in range(1000):
+                        t0 = time.perf_counter()
+                        u_c, st_c, _ = step_c(st_c, x0_c, xr_c, ur_c, f_c)
+                        jax.block_until_ready(u_c)
+                        ticks.append(time.perf_counter() - t0)
+                ticks.sort()
+                p50 = ticks[len(ticks) // 2] * 1e3
+                p99 = ticks[int(len(ticks) * 0.99)] * 1e3
+                details["cpu_daemon_tick"] = {
+                    "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                    "deadline_ms": 20.0, "meets_deadline_p99": p99 < 20.0,
+                    **{**prov(1000), "device": "cpu"},
+                }
+                print(
+                    f"cpu daemon tick: p50={p50:.2f}ms p99={p99:.2f}ms "
+                    f"(20 ms budget)",
+                    file=sys.stderr,
+                )
+        finally:
+            if gc_was_enabled:
+                gc.enable()
     # merge-update the details artifact: a BENCH_INTERACTIVE=0 run must not
     # drop the interactive rows captured by a previous full run
     details_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")

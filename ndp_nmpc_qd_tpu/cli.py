@@ -69,6 +69,24 @@ def run_mission(args) -> dict:
     if args.f64:
         jax.config.update("jax_enable_x64", True)
 
+    # ONE config story (VERDICT r3 item 5): on accelerator devices missions
+    # deploy the SAME configuration the bench reports — whole-IPM kernel,
+    # dual warm start @ 4 iterations, bf16 split-precision payload
+    # (validated: 5.9e-5 full-mission max control deviation vs the scan
+    # backend, far-regime envelope to 100 m at warm@3-5 —
+    # tools/validate_backends.py / tools/qp_envelope.py, see bench.py
+    # docstring). CPU missions keep the conservative scan-backend defaults
+    # (qp_iters=12, no warm) — that backend has no kernel to warm.
+    on_accel = jax.default_backend() not in ("cpu",)
+    if args.qp_iters is None:
+        args.qp_iters = 4 if on_accel else 12
+    if args.warm is None:
+        args.warm = on_accel
+    if args.whole_ipm is None:
+        args.whole_ipm = on_accel
+    if args.bf16 is None:
+        args.bf16 = on_accel
+
     cfg = NdpNmpcConfig(sim=SimParams(k_throttle_true=args.k_true))
     if args.scenario:
         from .traj.scenarios import load_scenario
@@ -116,6 +134,8 @@ def run_mission(args) -> dict:
             hold_ticks=args.hold_ticks, qp_iters=args.qp_iters,
             solver_warm_start=args.warm,
             solver_whole_ipm=args.whole_ipm,
+            solver_jac_bf16=args.bf16,
+            recover=args.recover,
         )
         topology = dict(n_drones=n_swarms * 3)
     else:
@@ -130,7 +150,8 @@ def run_mission(args) -> dict:
         init_fn, _, run_fn = make_episode(
             cfg, traj, hold_ticks=args.hold_ticks,
             solver_warm_start=args.warm, qp_iters=args.qp_iters,
-            solver_whole_ipm=args.whole_ipm, **kwargs
+            solver_whole_ipm=args.whole_ipm, solver_jac_bf16=args.bf16,
+            recover=args.recover, **kwargs
         )
     n_ticks = args.hold_ticks + int(args.track_secs / cfg.ocp.ts_nmpc)
 
@@ -172,7 +193,12 @@ def run_mission(args) -> dict:
         result["pos_rmse_leaders"] = summarize(pr[:, 0])
         result["pos_rmse_followers"] = summarize(pr[:, 1:])
     result |= {
+        "solver": {
+            "qp_iters": args.qp_iters, "warm": bool(args.warm),
+            "whole_ipm": bool(args.whole_ipm), "bf16": bool(args.bf16),
+        },
         "ok": ok.tolist() if ok.size <= 8 else [bool(ok.all())],
+        "recovered": int(np.asarray(metrics.recovered)),
         "wall_s_first": round(compile_and_run, 3),
         "wall_s_cached": round(run_time, 3),
         "solves_per_s": round(n_ticks * topology.get("n_drones", 1) / run_time, 1),
@@ -244,17 +270,43 @@ def main(argv=None):
     mission.add_argument("--nn", default=None, help="downwash net .npz")
     mission.add_argument("--cpu", action="store_true", help="force CPU backend")
     mission.add_argument("--f64", action="store_true")
+    # deployment defaults are device-resolved in run_mission (ONE config
+    # story with bench.py on accelerators: whole-IPM + warm@4 + bf16;
+    # conservative scan defaults on CPU). Flags override either way.
     mission.add_argument(
-        "--warm", action="store_true",
-        help="carry QP multipliers across ticks (validated equal-accuracy; "
-        "pair with --qp-iters 6)",
+        "--warm", action="store_true", default=None,
+        help="carry QP multipliers across ticks (accelerator default: on)",
     )
     mission.add_argument(
-        "--whole-ipm", action="store_true",
-        help="whole-solve persistent-VMEM IPM kernel (the bench production "
-        "path; pair with --warm)",
+        "--no-warm", dest="warm", action="store_false", help=argparse.SUPPRESS
     )
-    mission.add_argument("--qp-iters", type=int, default=12)
+    mission.add_argument(
+        "--whole-ipm", action="store_true", default=None,
+        help="whole-solve persistent-VMEM IPM kernel (accelerator default: "
+        "on)",
+    )
+    mission.add_argument(
+        "--no-whole-ipm", dest="whole_ipm", action="store_false",
+        help=argparse.SUPPRESS,
+    )
+    mission.add_argument(
+        "--bf16", action="store_true", default=None,
+        help="bf16 split-precision stage payload (accelerator default: on; "
+        "validated 5.9e-5 mission deviation)",
+    )
+    mission.add_argument(
+        "--no-bf16", dest="bf16", action="store_false", help=argparse.SUPPRESS
+    )
+    mission.add_argument(
+        "--qp-iters", type=int, default=None,
+        help="IPM iterations (accelerator default 4 w/ warm start, CPU 12)",
+    )
+    mission.add_argument(
+        "--no-recover", dest="recover", action="store_false",
+        help="disable live divergence recovery (on by default — the "
+        "respawn=true analog: diverged drones re-seed from their reference "
+        "and fly the hold command for the bad tick)",
+    )
     mission.add_argument(
         "--scenario", action="append", default=None,
         help="trajectory yaml (configs/ name or path), e.g. eight_high_dyn; "

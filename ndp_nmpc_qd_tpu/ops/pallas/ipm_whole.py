@@ -88,6 +88,7 @@ def _ipm_whole_kernel(
     sul_scr, suu_scr, sxl_scr, sxu_scr, dx_scr, du_scr,
     *, h, diag6_stage, diag6_term, rdiag_stage,
     tau, sigma, mu0, s_min, mu_min, num_iters, n_stages,
+    xb_ref=None, ub_ref=None,
 ):
     N = n_stages
     dt = gx_ref.dtype
@@ -382,6 +383,24 @@ def _ipm_whole_kernel(
     # (1 - a_p_last) * ||(rhat, dx0_res)|| of the last iteration
     eq_o[0, 0, 0] = (1.0 - ap_l) * jnp.sqrt(res2_l)
 
+    if xb_ref is not None:
+        # kernel-layout-resident RTI state: fold the SQP axpy in-kernel and
+        # emit the UPDATED iterates (x_bar + dx, u_bar + du) instead of the
+        # solution delta — the delta never round-trips through HBM and the
+        # XLA-side axpy (3x iterate traffic) disappears (VERDICT r3 item 2)
+        def fold_body(k, _):
+            for i in range(NX):
+                zx_o[k, i, 0] = zx_o[k, i, 0] + xb_ref[k, i, 0]
+
+            @pl.when(k < N)
+            def _():
+                for l in range(NU):
+                    zu_o[k, l, 0] = zu_o[k, l, 0] + ub_ref[k, l, 0]
+
+            return 0
+
+        jax.lax.fori_loop(0, N + 1, fold_body, 0)
+
 
 @functools.partial(
     jax.jit,
@@ -393,6 +412,7 @@ def _ipm_whole_kernel(
 def riccati_ipm_whole(
     hq, gx, gu, a, b, bc, r, lub, uub, lxb, uxb,
     wlu_lo, wlu_up, wlx_lo, wlx_up, wmu, dx0,
+    xb=None, ub=None,
     *, h, diag6_stage, diag6_term, rdiag_stage, tau, sigma, mu_init,
     s_min, mu_min, num_iters, interpret: bool = False,
 ):
@@ -403,11 +423,17 @@ def riccati_ipm_whole(
     the < 0 cold sentinel. Returns (zx (N+1,10,tail), zu (N,4,tail),
     lu_lo, lu_up (N,4,tail), lx_lo, lx_up (N+1,3,tail), mu (tail),
     eq_res (tail)).
+
+    With `xb`/`ub` (the current RTI iterates in kernel layout) the SQP axpy
+    is folded in-kernel and the FIRST TWO outputs are the UPDATED iterates
+    xb + dx / ub + du instead of the solution delta (kernel-layout-resident
+    RtiState, `solver/rti.py packed_state`).
     """
     Np1, _, nb = hq.shape[:3]
     N = Np1 - 1
     dt = gx.dtype
     mu5 = wmu.reshape((1, 1) + wmu.shape)
+    fold_xu = xb is not None
 
     def spec(s, d):
         return pl.BlockSpec(
@@ -417,12 +443,19 @@ def riccati_ipm_whole(
         )
 
     sd = lambda s, d: jax.ShapeDtypeStruct((s, d, nb, SUB, LANE), dt)
-    kernel = functools.partial(
+    base = functools.partial(
         _ipm_whole_kernel,
         h=h, diag6_stage=diag6_stage, diag6_term=diag6_term,
         rdiag_stage=rdiag_stage, tau=tau, sigma=sigma, mu0=mu_init,
         s_min=s_min, mu_min=mu_min, num_iters=num_iters, n_stages=N,
     )
+    if fold_xu:
+        # refs arrive positionally: 17 payload inputs, then xb/ub, then
+        # outputs + scratch — reroute the two iterate refs to keywords
+        def kernel(*refs):
+            return base(*refs[:17], *refs[19:], xb_ref=refs[17], ub_ref=refs[18])
+    else:
+        kernel = base
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -444,7 +477,8 @@ def riccati_ipm_whole(
             spec(Np1, 3),  # warm lx_up
             spec(1, 1),  # warm mu (cold sentinel < 0)
             spec(1, NX),  # dx0
-        ],
+        ]
+        + ([spec(Np1, NX), spec(N, NU)] if fold_xu else []),  # xb, ub
         out_specs=[
             spec(Np1, NX),  # zx
             spec(N, NU),  # zu
@@ -480,5 +514,6 @@ def riccati_ipm_whole(
     )(
         hq, gx, gu, a, b, bc, r, lub, uub, lxb, uxb,
         wlu_lo, wlu_up, wlx_lo, wlx_up, mu5, dx0,
+        *((xb, ub) if fold_xu else ()),
     )
     return outs

@@ -1,0 +1,70 @@
+"""Shard the flagship scenario-batch control step over all local devices.
+
+The controller is embarrassingly parallel along the scenario axis (the
+reference's scale-out analog is one ROS node process per drone,
+`launch/three_qd_nmpc_formation.launch:3-14`); this wraps ANY control-step
+closure (scan backend, packed Pallas, kernel-layout-resident state) in a
+`shard_map` over a 1-D "data" mesh so `bench.py --sharded` measures
+solves/s, solves/s/device, and scaling efficiency on however many chips are
+attached — one chip degenerates to the unsharded program, a pod measures ICI
+scaling with zero new code (VERDICT r3 item 7).
+
+Layout-aware sharding rule: batch-first leaves (B, ...) shard their leading
+axis; packed kernel-layout leaves (..., nb, 8, 128) — detected by the
+(8, 128) VPU tail — shard the block axis `nb`. Pallas calls do not
+auto-partition under plain jit+GSPMD, which is exactly why this uses
+shard_map: each device runs the kernel on its local block.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.pallas.riccati import LANE, SUB
+
+
+def data_mesh(devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def _spec_of(leaf, axis="data"):
+    shape = getattr(leaf, "shape", ())
+    nd = len(shape)
+    if nd >= 3 and shape[-1] == LANE and shape[-2] == SUB:
+        # packed kernel layout (..., nb, 8, 128): shard the block axis
+        return P(*([None] * (nd - 3) + [axis, None, None]))
+    if nd == 0:
+        return P()
+    return P(axis)
+
+
+def make_sharded_step(step_fn, mesh: Mesh, example_args, axis: str = "data"):
+    """shard_map `step_fn(*args)` over `mesh[axis]` along the scenario axis.
+
+    Returns (sharded_fn, place) where `place(args)` device_puts a pytree of
+    global arrays with the matching shardings (call it once on the inputs;
+    outputs of sharded_fn are already sharded so state chains stay on
+    device).
+    """
+    in_specs = jax.tree.map(lambda l: _spec_of(l, axis), example_args)
+    out_shape = jax.eval_shape(step_fn, *example_args)
+    out_specs = jax.tree.map(lambda l: _spec_of(l, axis), out_shape)
+
+    f = jax.shard_map(
+        step_fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+        check_vma=False,
+    )
+    jf = jax.jit(f)
+
+    def place(args):
+        return jax.tree.map(
+            lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
+            args,
+            tuple(in_specs) if isinstance(args, tuple) else in_specs,
+        )
+
+    return jf, place

@@ -109,7 +109,9 @@ def make_sharded_episode(
         _, metrics_shape, traces_shape = jax.eval_shape(
             lambda s: run_unsharded(s, n_ticks), st_shape
         )
-        metric_specs = jax.tree.map(lambda _: P("data", "swarm"), metrics_shape)
+        # per-drone metric leaves shard over swarm; scalar leaves (e.g. the
+        # `recovered` re-seed counter, replicated by psum) only over data
+        metric_specs = jax.tree.map(_state_spec, metrics_shape)
         # traces stack ticks ahead of the drone axis: (T, D, ...)
         trace_specs = jax.tree.map(
             lambda _: P("data", None, "swarm"), traces_shape

@@ -23,12 +23,39 @@ Topics per namespace `ns` (shared-memory, latest-value):
 from __future__ import annotations
 
 import gc
+import threading
 import time
 from dataclasses import dataclass
 
 import numpy as np
 
 from . import bus as qb
+
+# Interpreter-wide GC policy refcount: gc.disable() is global, so co-hosted
+# daemons (threads in one process, as the tests run them) must not re-enable
+# collection underneath each other. The first daemon in disables, the last
+# one out restores the state observed at first entry.
+_GC_LOCK = threading.Lock()
+_GC_DEPTH = 0
+_GC_WAS_ENABLED = False
+
+
+def _gc_policy_enter() -> None:
+    global _GC_DEPTH, _GC_WAS_ENABLED
+    with _GC_LOCK:
+        if _GC_DEPTH == 0:
+            _GC_WAS_ENABLED = gc.isenabled()
+            gc.collect()
+            gc.disable()
+        _GC_DEPTH += 1
+
+
+def _gc_policy_exit() -> None:
+    global _GC_DEPTH
+    with _GC_LOCK:
+        _GC_DEPTH -= 1
+        if _GC_DEPTH == 0 and _GC_WAS_ENABLED:
+            gc.enable()
 
 
 @dataclass
@@ -261,7 +288,7 @@ class ControllerDaemon:
         n_form = 0
         last_thrust = 0.0
         f_dist = jnp.zeros((N + 1, 3))
-        u0_inflight = None  # dispatch-ahead pipeline slot (see __init__)
+        inflight = None  # dispatch-ahead pipeline slot: (u0, info) futures
 
         def publish_result(status: int):
             """TrackTraj result record (status 1 = succeeded, 2 = preempted,
@@ -279,22 +306,31 @@ class ControllerDaemon:
         # outliers in the tick-latency bench. Per-tick garbage here is
         # acyclic (freed immediately by refcounting), so the control loop
         # runs with automatic collection disabled and collects explicitly
-        # only while idle (hold-position, no active goal). The reference's
-        # rospy loop has the same hazard and merely warns on overrun
-        # (`nmpc_node.py:216-220`).
-        gc_was_enabled = gc.isenabled()
-        gc.collect()
-        gc.disable()
-        rate = qb.Rate(ocp.ts_nmpc)
-        if ready_event is not None:
-            ready_event.set()
+        # only while truly idle (hold-position, no active goal, and not a
+        # follower — a follower tracks the leader's horizon with traj=None
+        # for its whole mission, which is not idle). The reference's rospy
+        # loop has the same hazard and merely warns on overrun
+        # (`nmpc_node.py:216-220`). Entry/exit is refcounted so co-hosted
+        # daemons in one process don't re-enable GC under each other.
         tick = 0
+        n_recover = 0
+        _gc_policy_enter()
         try:
+            rate = qb.Rate(ocp.ts_nmpc)
+            if ready_event is not None:
+                ready_event.set()
             while max_ticks == 0 or tick < max_ticks:
                 tick += 1
+                # idle housekeeping (~every 5 s of hold): collect right
+                # before the deadline sleep so the sleep slack absorbs the
+                # pause instead of the control path paying it
+                if (
+                    tick % 250 == 0
+                    and traj is None
+                    and self.leader_ref is None
+                ):
+                    gc.collect()
                 overrun = rate.sleep()
-                if traj is None and tick % 250 == 0:
-                    gc.collect()  # idle housekeeping (~every 5 s of hold)
 
                 seq, odom = self.t.odom.read_latest()
                 x_now = _odom_to_x(odom)
@@ -399,11 +435,30 @@ class ControllerDaemon:
                     state, jnp.asarray(x_now), xr, ur, f_dist
                 )
                 if self.pipeline:
-                    out_dev = u0_inflight if u0_inflight is not None else u0_dev
-                    u0_inflight = u0_dev
+                    out_dev, out_info = (
+                        inflight if inflight is not None else (u0_dev, info)
+                    )
+                    inflight = (u0_dev, info)
                 else:
-                    out_dev = u0_dev
+                    out_dev, out_info = u0_dev, info
                 u0 = np.asarray(out_dev)
+
+                # --- health response (the live respawn analog). The
+                # reference raises on solver status != 0 and relies on the
+                # launch file's respawn="true" to restart the node with a
+                # fresh hold-point solver (`nmpc_body_rate_ctl.py:109-110`,
+                # `launch/one_qd_nmpc.launch:4`). Here an unhealthy or
+                # non-finite solve never reaches the vehicle: publish the
+                # hold command (zero rates, hover collective) and re-seed
+                # the solver iterates from the current reference — the
+                # reset() semantics — so the next tick solves clean. ---
+                if not (
+                    bool(np.asarray(out_info.ok)) and np.isfinite(u0).all()
+                ):
+                    n_recover += 1
+                    state = self.ctl.reset(xr, ur)
+                    inflight = None  # in-flight solve used the poisoned state
+                    u0 = np.array([0.0, 0.0, 0.0, veh.gravity])
                 k_th = float(np.asarray(est.x[1]))
                 thrust = float(
                     self._throttle(jnp.asarray(u0[3]), jnp.asarray(k_th), veh.mass)
@@ -480,12 +535,12 @@ class ControllerDaemon:
                     self.t.feedback.publish(fb)
 
         finally:
-            if gc_was_enabled:
-                gc.enable()
+            _gc_policy_exit()
 
         return dict(
             ticks=rate.ticks,
             overruns=rate.overruns,
+            recoveries=n_recover,
             goal_to_first_cmd_s=self.goal_to_first_cmd_s,
         )
 

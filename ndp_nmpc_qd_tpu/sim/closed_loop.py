@@ -68,6 +68,7 @@ class EpisodeState(NamedTuple):
     yaw_err2: jnp.ndarray  # (D,)
     form_err2: jnp.ndarray  # (D,) accumulated squared formation error
     ok_all: jnp.ndarray  # (D,) bool
+    recovered: jnp.ndarray  # scalar int32: total scenario re-seeds (recover=True)
 
 
 class EpisodeMetrics(NamedTuple):
@@ -75,6 +76,7 @@ class EpisodeMetrics(NamedTuple):
     yaw_rmse_deg: jnp.ndarray  # (D,)
     form_rmse: jnp.ndarray  # (D,)
     ok: jnp.ndarray  # (D,)
+    recovered: jnp.ndarray  # scalar int32
 
 
 def make_episode(
@@ -99,6 +101,7 @@ def make_episode(
     swarm_shards: int = 1,
     n_groups: int = 1,
     anchors=None,
+    recover: bool = False,
 ):
     """Build (init_fn, step_fn, run_fn) for a swarm episode.
 
@@ -132,6 +135,19 @@ def make_episode(
     (`nmpc_node.py:146` shuts the estimator timer down on goal receipt and
     restarts it when tracking finishes, :196). Tracking RMSE accumulates only
     during the tracking phase, like `cum_error` in the action loop.
+
+    `recover` wires live divergence recovery into the loop (the in-batch
+    analog of the reference's crash-and-respawn: status != 0 raises and the
+    launch file restarts the node with fresh hold-point iterates,
+    `nmpc_ctl/nmpc_body_rate_ctl.py:109-110` + `launch/one_qd_nmpc.launch:4`).
+    Each tick, scenarios whose solve is unhealthy or whose iterates/command
+    went non-finite are re-seeded from their current reference
+    (`utils.recovery.recover_rti`), and their command for that tick is
+    replaced by the hold command (zero rates, hover collective) so a
+    poisoned solve never reaches the plant. With recover=True the `ok`
+    metric reports LAST-tick health (did the episode end healthy) and
+    `recovered` counts total re-seeds; with recover=False `ok` stays the
+    all-ticks AND as before.
 
     `swarm_axis_name` + `swarm_shards` run THIS full episode under
     `shard_map` with the drone axis split over a mesh axis: `step_fn` then
@@ -247,6 +263,7 @@ def make_episode(
             yaw_err2=jnp.zeros((D,), dtype),
             form_err2=jnp.zeros((D,), dtype),
             ok_all=jnp.ones((D,), bool),
+            recovered=jnp.zeros((), jnp.int32),
         )
 
     def step_fn(st: EpisodeState, _=None):
@@ -347,6 +364,26 @@ def make_episode(
         x0 = st.plant.x
         u0, rti, info = ctl.update(st.rti, x0, xr, ur, f_dist)
 
+        # 4b. live divergence recovery (see docstring): unhealthy scenarios
+        # get the hold command this tick and fresh reference-seeded iterates
+        # for the next — a solve from a poisoned state never flies
+        ok_tick = info.ok
+        n_reseeded = jnp.zeros((), jnp.int32)
+        if recover:
+            from ..utils.recovery import recover_rti, screen_nan
+
+            ok_tick = ok_tick & jnp.all(jnp.isfinite(u0), axis=-1)
+            ok_tick = screen_nan(rti, ok_tick)
+            rti = recover_rti(rti, ok_tick, xr, ur)
+            hold_u = jnp.zeros((4,), dtype).at[3].set(veh.gravity)
+            u0 = jnp.where(ok_tick[:, None], u0, hold_u)
+            n_reseeded = jnp.sum(
+                jnp.logical_not(ok_tick), dtype=jnp.int32
+            )
+            if swarm_axis_name is not None:
+                # keep the scalar replicated across swarm shards
+                n_reseeded = jax.lax.psum(n_reseeded, swarm_axis_name)
+
         # 5. throttle conversion + estimator tick (frozen while tracking,
         #    matching the reference's timer shutdown/restart)
         k_th = st.est.x[..., 1]
@@ -409,7 +446,10 @@ def make_episode(
             pos_err2=st.pos_err2 + jnp.where(track, pos_e2, 0.0),
             yaw_err2=st.yaw_err2 + jnp.where(track, yaw_e2, 0.0),
             form_err2=st.form_err2 + jnp.where(track, form_e2, 0.0),
-            ok_all=st.ok_all & info.ok,
+            # recover=True: health is a live property (last-tick state);
+            # recover=False: the historical AND, as before
+            ok_all=ok_tick if recover else (st.ok_all & info.ok),
+            recovered=st.recovered + n_reseeded,
         )
         out = None
         if record_traces:
@@ -424,6 +464,7 @@ def make_episode(
             yaw_rmse_deg=jnp.sqrt(st.yaw_err2 / n),
             form_rmse=jnp.sqrt(st.form_err2 / n),
             ok=st.ok_all,
+            recovered=st.recovered,
         )
         return st, metrics, traces
 

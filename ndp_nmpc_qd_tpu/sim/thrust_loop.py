@@ -159,6 +159,7 @@ def make_thrust_episode(
             yaw_rmse_deg=jnp.sqrt(st.yaw_err2 / n),
             form_rmse=pos_rmse,
             ok=st.ok_all,
+            recovered=jnp.zeros((), jnp.int32),
         )
         return st, metrics, None
 

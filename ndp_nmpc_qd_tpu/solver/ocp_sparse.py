@@ -165,15 +165,26 @@ def make_linearizer_pallas(
         jac_dtype=jac_dtype, interpret=interpret,
     )
 
-    def linearize_sparse(x_bar, u_bar, xr, ur, f_dist, x0):
+    def linearize_sparse(x_bar, u_bar, xr, ur, f_dist, x0, packed_xu=False):
+        """`packed_xu=True`: x_bar/u_bar arrive ALREADY in kernel layout
+        ((s, d, nb, 8, 128), the kernel-layout-resident RtiState mode) and
+        skip their pack transpose; the per-tick inputs xr/ur/f_dist/x0 stay
+        batch-first."""
         N = ocp.N_node
-        dtype = x_bar.dtype
-        B = x_bar.shape[0]
+        if packed_xu:
+            dtype = x_bar.dtype
+            B = x_bar.shape[2] * BLOCK
+            xb_p, ub_p = x_bar, u_bar
+        else:
+            dtype = x_bar.dtype
+            B = x_bar.shape[0]
+            xb_p = pack(x_bar.astype(dtype))
+            ub_p = pack(u_bar.astype(dtype))
         assert B % BLOCK == 0, B
         if f_dist is None:
             f_dist = jnp.zeros((B, N + 1, 3), dtype)
         outs = linearize_stage_data(
-            pack(x_bar.astype(dtype)), pack(u_bar.astype(dtype)),
+            xb_p, ub_p,
             pack(xr.astype(dtype)), pack(ur.astype(dtype)),
             pack(f_dist.astype(dtype)), pack(x0.astype(dtype)[:, None]),
             **kernel_consts,

@@ -125,6 +125,7 @@ def ipm_sparse(
     lqr_start: bool = True,
     fuse_glue: bool = True,
     whole_kernel: bool = False,
+    xu_bar: tuple | None = None,
 ):
     """Returns (zx (N+1,10,tail), zu (N,4,tail), mu (tail), eq_res (tail),
     new_warm: IpmWarm).
@@ -144,6 +145,11 @@ def ipm_sparse(
     configuration for the warm-started path, see the note below) and the
     res2-based equality residual. warm=None is handled by passing the cold
     sentinel for every lane.
+
+    `xu_bar=(x_bar, u_bar)` (kernel layout) switches the FIRST TWO return
+    values to the UPDATED RTI iterates x_bar + zx / u_bar + zu (the SQP
+    axpy folded in-kernel on the whole-kernel path, in XLA otherwise) —
+    the kernel-layout-resident RtiState mode (`solver/rti.py packed_state`).
     """
     Np1, nx = p.gx.shape[:2]
     N = Np1 - 1
@@ -168,6 +174,8 @@ def ipm_sparse(
             p.lu, p.uu, p.lx, p.ux,
             warm.lu_lo, warm.lu_up, warm.lx_lo, warm.lx_up, warm.mu,
             dx0_p,
+            xu_bar[0] if xu_bar is not None else None,
+            xu_bar[1] if xu_bar is not None else None,
             h=consts.h, diag6_stage=consts.diag6_stage,
             diag6_term=consts.diag6_term, rdiag_stage=consts.rdiag_stage,
             tau=tau, sigma=sigma, mu_init=mu_init, s_min=s_min,
@@ -381,4 +389,7 @@ def ipm_sparse(
     new_warm = IpmWarm(
         lu_lo=carry[6], lu_up=carry[7], lx_lo=carry[8], lx_up=carry[9], mu=mu
     )
+    if xu_bar is not None:
+        zx = zx + xu_bar[0]
+        zu = zu + xu_bar[1]
     return zx, zu, mu, eq_res, new_warm

@@ -57,13 +57,30 @@ class RtiInfo(NamedTuple):
 
 
 class RtiController(NamedTuple):
-    """Bundle of pure functions (closures over static config)."""
+    """Bundle of pure functions (closures over static config).
+
+    `layout` is the memory layout of `RtiState.x_bar`/`u_bar`: "batch" =
+    batch-first (B, s, d); "kernel" = packed batch-on-lanes
+    ((s, d, nb, 8, 128), `packed_state=True`) — use `unpack_iterates` to
+    read iterates at consumer boundaries.
+    """
 
     reset: callable
     update: callable
     ocp: OcpParams
     vehicle: VehicleParams
     with_disturbance: bool
+    layout: str = "batch"
+
+
+def unpack_iterates(state: RtiState, B: int):
+    """Kernel-layout RtiState -> batch-first (x_bar (B,N+1,10), u_bar)."""
+    from ..ops.pallas.riccati import unpack
+
+    return (
+        unpack(state.x_bar, (state.x_bar.shape[1],))[:B],
+        unpack(state.u_bar, (state.u_bar.shape[1],))[:B],
+    )
 
 
 def make_rti_controller(
@@ -136,6 +153,7 @@ def make_batched_rti_controller(
     fused_lin: bool = True,
     lqr_start: bool = True,
     whole_ipm: bool = False,
+    packed_state: bool = False,
 ) -> RtiController:
     """Batch-first RTI controller: all arguments carry a leading scenario
     axis B and the QP batch is solved by the structure-sparse fused Pallas
@@ -171,6 +189,20 @@ def make_batched_rti_controller(
     iteration. Implies the zero-control start (`lqr_start` is ignored on
     that path); pair with `warm_start=True` — the production bench
     configuration.
+
+    `packed_state=True` (pallas backend) keeps the RTI iterates AND the
+    carried QP multipliers in KERNEL layout ((s, d, nb, 8, 128),
+    batch-on-lanes) across control ticks: the per-tick pack transposes of
+    x_bar/u_bar and the five warm-dual arrays disappear, the RTI axpy runs
+    in kernel layout, and with `whole_ipm=True` it is folded INTO the
+    kernel (the solve emits the UPDATED iterates directly — zero
+    solution-delta round trip through HBM). Only the per-tick INPUTS
+    (x0/xr/ur/f_dist) and the tiny outputs (u0, health flags) cross
+    layouts. State is padded to the 1024-lane block internally; `update`
+    recovers B from x0. Consumers that poke `RtiState.x_bar` directly must
+    use the layout helpers exported here (`pack_iterates`/
+    `unpack_iterates`). This is the production bench configuration
+    (VERDICT r3 item 2).
 
     Semantics are otherwise identical to `make_rti_controller` + outer vmap.
     """
@@ -244,15 +276,99 @@ def make_batched_rti_controller(
             )
         linearize_packed = linearize_sparse
 
-        def solve_packed(qp, dx0_p, warm):
+        def solve_packed(qp, dx0_p, warm, xu_bar=None):
             return ipm_sparse(
                 qp, sp_consts, dx0_p, num_iters=qp_iters,
                 interpret=interpret, warm=warm, lqr_start=lqr_start,
-                whole_kernel=whole_ipm,
+                whole_kernel=whole_ipm, xu_bar=xu_bar,
             )
 
     use_warm = warm_start and backend == "pallas"
     N = ocp.N_node
+
+    if packed_state:
+        assert backend == "pallas" and fused_lin, (
+            "packed_state requires the fused pallas linearizer path"
+        )
+        from ..ops.pallas.riccati import LANE, SUB
+
+        def padb_to_block(a):
+            if a is None:
+                return a
+            pad = (-a.shape[0]) % BLOCK
+            if pad == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.tile(a[:1], (pad,) + (1,) * (a.ndim - 1))]
+            )
+
+        def reset_packed(xr: jnp.ndarray, ur: jnp.ndarray) -> RtiState:
+            xr_p = pack(padb_to_block(jnp.asarray(xr)))
+            ur_p = pack(padb_to_block(jnp.asarray(ur)))
+            dt = xr_p.dtype
+            tail = (xr_p.shape[2], SUB, LANE)
+            ipm0 = None
+            if use_warm:
+                ipm0 = (
+                    jnp.zeros((N, 4) + tail, dt), jnp.zeros((N, 4) + tail, dt),
+                    jnp.zeros((N + 1, 3) + tail, dt),
+                    jnp.zeros((N + 1, 3) + tail, dt),
+                    jnp.full(tail, -1.0, dt),
+                )
+            return RtiState(xr_p, ur_p, ipm0)
+
+        def update_packed(state, x0, xr, ur, f_dist=None):
+            if not with_disturbance:
+                f_dist = None
+            B = x0.shape[0]
+            qp, dx0_p = linearize_packed(
+                state.x_bar, state.u_bar,
+                padb_to_block(xr), padb_to_block(ur),
+                padb_to_block(f_dist), padb_to_block(x0),
+                packed_xu=True,
+            )
+            warm = None
+            if use_warm:
+                from .qp_ipm_sparse import IpmWarm
+
+                warm = IpmWarm(*state.ipm)
+            xb_new, ub_new, mu_p, eq_p, new_warm = solve_packed(
+                qp, dx0_p, warm, xu_bar=(state.x_bar, state.u_bar)
+            )
+            ipm_new = tuple(new_warm) if use_warm else state.ipm
+            new_state = RtiState(xb_new, ub_new, ipm_new)
+
+            # tiny layout crossings: first-stage control + per-lane health
+            u0 = unpack(ub_new[:1], (4,))[:B, 0]
+            u_lo = jnp.asarray(ocp.u_lower(), u0.dtype)
+            u_hi = jnp.asarray(ocp.u_upper(), u0.dtype)
+            u0 = jnp.clip(u0, u_lo, u_hi)
+            bound_tol = 1e-4 * (u_hi - u_lo)
+            lo5 = (u_lo - bound_tol).reshape(1, 4, 1, 1, 1)
+            hi5 = (u_hi + bound_tol).reshape(1, 4, 1, 1, 1)
+            in_box = jnp.all((ub_new >= lo5) & (ub_new <= hi5), axis=(0, 1))
+            v_lo = jnp.asarray(ocp.v_lower(), u0.dtype)
+            v_hi = jnp.asarray(ocp.v_upper(), u0.dtype)
+            v_tol = 1e-3 * (v_hi - v_lo)
+            vlo5 = (v_lo - v_tol).reshape(1, 3, 1, 1, 1)
+            vhi5 = (v_hi + v_tol).reshape(1, 3, 1, 1, 1)
+            v_plan = xb_new[1:N, 3:6]
+            in_box &= jnp.all((v_plan >= vlo5) & (v_plan <= vhi5), axis=(0, 1))
+            sol_mu = mu_p.reshape(-1)[:B]
+            sol_eq = eq_p.reshape(-1)[:B]
+            info = RtiInfo(
+                mu=sol_mu,
+                eq_res=sol_eq,
+                ok=jnp.isfinite(sol_eq)
+                & (sol_eq < eq_tol)
+                & in_box.reshape(-1)[:B],
+            )
+            return u0, new_state, info
+
+        return RtiController(
+            reset_packed, update_packed, ocp, vehicle, with_disturbance,
+            layout="kernel",
+        )
 
     if use_warm:
         from .qp_ipm_sparse import IpmWarm

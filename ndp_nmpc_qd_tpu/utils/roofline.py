@@ -140,12 +140,21 @@ def step_cost(
     jac_bf16: bool = False,
     whole_kernel: bool = False,
     lqr_start: bool = False,
+    packed_state: bool = False,
 ) -> StepCost:
-    """Full fused control step: MLP forecast + linearize + IPM + RTI glue."""
+    """Full fused control step: MLP forecast + linearize + IPM + RTI glue.
+
+    `packed_state` is the kernel-layout-resident RtiState mode
+    (`solver/rti.py`): iterates and carried duals stay in kernel layout
+    across ticks, so their pack transposes and the batch-first axpy/unpack
+    disappear; the whole-IPM kernel additionally reads x_bar/u_bar and
+    emits the UPDATED iterates in place of the solution delta (same write
+    bytes, one extra iterate read, zero delta round trip).
+    """
     jac_bytes = 2 if jac_bf16 else 4
     jac_f, f32_f = _payload_floats(N)
     payload = jac_bytes * jac_f + 4 * f32_f
-    zxzu, _, _ = _state_floats(N)
+    zxzu, _, duals = _state_floats(N)
 
     # downwash MLP forecast: reads other (N+1,10) + xr (N+1,10) + gate,
     # writes f_dist (N+1,3); weights amortized
@@ -155,12 +164,26 @@ def step_cost(
     lin_in = 4 * (2 * 10 * (N + 1) + 2 * 4 * N + 3 * (N + 1) + 10)
     lin = lin_in + payload
 
-    # pack layout copies for the 6 linearizer inputs (read+write)
-    pack = 2 * lin_in
-
-    # RTI glue: unpack dx/du (read+write), axpy onto x_bar/u_bar
-    # (read both + dx/du + write both), health checks read u_bar/x_bar
-    rti = 4 * (2 * zxzu + 3 * zxzu + zxzu)
+    if packed_state:
+        # pack copies only for the per-tick inputs (xr/ur/f_dist/x0);
+        # x_bar/u_bar arrive in kernel layout (no transpose)
+        pack = 2 * (lin_in - 4 * zxzu)
+        # axpy folded in-kernel (whole path): + iterate read inside the
+        # kernel; remaining glue = health checks reading packed iterates +
+        # the tiny u0/ok unpacks. The per-iteration path still pays the
+        # XLA axpy (in kernel layout, no unpack).
+        extra_ipm_rd = 4 * zxzu
+        rti = 4 * zxzu if whole_kernel else 4 * (3 * zxzu + zxzu)
+        # NOTE: the carried-dual pack/unpack of the batch-first warm path
+        # (~286 floats x 4 r/w, never counted in earlier rounds' pack term)
+        # also disappears here; it was unaccounted, so no term changes.
+    else:
+        # pack layout copies for the 6 linearizer inputs (read+write)
+        pack = 2 * lin_in
+        extra_ipm_rd = 0
+        # RTI glue: unpack dx/du (read+write), axpy onto x_bar/u_bar
+        # (read both + dx/du + write both), health checks read u_bar/x_bar
+        rti = 4 * (2 * zxzu + 3 * zxzu + zxzu)
 
     ipm = ipm_bytes(
         N, qp_iters=qp_iters, jac_bytes=jac_bytes,
@@ -168,7 +191,8 @@ def step_cost(
     )
 
     breakdown = {
-        "mlp": mlp, "pack": pack, "linearize": lin, "ipm": ipm["ipm"],
+        "mlp": mlp, "pack": pack, "linearize": lin,
+        "ipm": ipm["ipm"] + extra_ipm_rd,
         "rti_glue": rti,
     }
     total = sum(breakdown.values())

