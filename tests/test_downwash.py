@@ -102,3 +102,43 @@ def test_trainer_fits_toy_function(rng):
     assert float(loss) < 0.3 * l0
     for w in params.weights:
         assert float(jnp.linalg.norm(w, ord=2)) <= 4.0 + 1e-3
+
+
+def test_csv_ingestion_roundtrip(tmp_path, rng):
+    """The flight-log CSV path (`nn_train.py:96-104` format): 6-col input /
+    3-col output, shuffled 75/25 split, trainable end to end."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "train_downwash",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "train_downwash.py"),
+    )
+    td = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td)
+
+    n = 100
+    x = rng.standard_normal((n, 6))
+    y = rng.standard_normal((n, 3))
+    np.savetxt(tmp_path / "in.csv", x, delimiter=",")
+    np.savetxt(tmp_path / "out.csv", y, delimiter=",")
+    x_tr, y_tr, x_te, y_te = td.load_csv_dataset(
+        str(tmp_path / "in.csv"), str(tmp_path / "out.csv")
+    )
+    assert x_tr.shape == (75, 6) and y_tr.shape == (75, 3)
+    assert x_te.shape == (25, 6) and y_te.shape == (25, 3)
+    # split is a permutation: together they recover the full set
+    all_rows = np.concatenate([x_tr, x_te])
+    assert np.allclose(
+        np.sort(all_rows, axis=0), np.sort(x.astype(np.float32), axis=0)
+    )
+    # trainable on the ingested data
+    params = init_mlp(jax.random.PRNGKey(0))
+    init_opt, train_step, loss_fn = make_trainer(sn=0.0, lr=1e-3)
+    opt_state = init_opt(params)
+    l0 = float(loss_fn(params, jnp.asarray(x_tr), jnp.asarray(y_tr)))
+    for _ in range(5):
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(x_tr), jnp.asarray(y_tr)
+        )
+    assert np.isfinite(float(loss)) and float(loss) <= l0 * 1.5
