@@ -65,10 +65,21 @@ def main():
     # pack/rti_glue layout traffic (34% of r3's HBM bytes/solve) disappears
     # (VERDICT r3 item 2). Element parity: tests/test_packed_state.py.
     packed_state = os.environ.get("BENCH_PACKED_STATE", "1") == "1"
+    # ONE-kernel control step (ops/pallas/step_whole.py): linearization +
+    # whole IPM + SQP axpy in a single Pallas launch — the stage QP payload
+    # never exists in HBM (element parity: tests/test_packed_state.py).
+    whole_step = (
+        os.environ.get("BENCH_WHOLE_STEP", "1") == "1" and packed_state
+    )
+    # bf16 MXU compute for the downwash forecast (f32 accumulate): the
+    # profiler showed the f32 dot_generals at ~0.5 ms/step of the 4.6 ms
+    # device step; forecast delta bounded in tests/test_downwash.py
+    mlp_bf16 = os.environ.get("BENCH_MLP_BF16", "1") == "1"
     ctl = make_batched_rti_controller(
         cfg.ocp, cfg.vehicle, with_disturbance=True,
         qp_iters=qp_iters, warm_start=True, jac_bf16=jac_bf16,
         lqr_start=lqr_start, whole_ipm=whole_ipm, packed_state=packed_state,
+        whole_step=whole_step,
     )
     N = cfg.ocp.N_node
     params = load_npz(
@@ -100,6 +111,7 @@ def main():
         f = predict_downwash(
             params, other, xr, r_horiz=cfg.downwash.r_horiz,
             ego_gate_pos=x0[..., 0:3],
+            compute_dtype=jnp.bfloat16 if mlp_bf16 else None,
         )
         return ctl.update(rti, x0, xr, ur, f)
 
@@ -205,7 +217,7 @@ def main():
     cost = step_cost(
         N=N, qp_iters=qp_iters, jac_bf16=jac_bf16,
         whole_kernel=whole_ipm, lqr_start=lqr_start,
-        packed_state=packed_state,
+        packed_state=packed_state, whole_step=whole_step,
     )
     roof = roofline_report(cost, solves_per_s)
     print(
@@ -222,7 +234,8 @@ def main():
         "blocking_p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
         "qp_iters": qp_iters, "whole_ipm": whole_ipm,
         "jac_bf16": jac_bf16, "lqr_start": lqr_start,
-        "packed_state": packed_state,
+        "packed_state": packed_state, "whole_step": whole_step,
+        "mlp_bf16": mlp_bf16,
         "roofline": roof,
     }}
     if sharded_row is not None:

@@ -119,37 +119,27 @@ def _qe_tiles(q, q_ref):
     )
 
 
-def _lin_kernel(
-    xb_ref, xb1_ref, ub_ref, xr_ref, ur_ref, fd_ref, xrT_ref, x0_ref,
-    hq_out, gx_out, gu_out, a_out, b_out, bc_out, r_out,
-    lu_out, uu_out, lx_out, ux_out, hqT_out, gxT_out, dx0_out,
+def _lin_stage_terms(
+    x, x1, u, xr, ur, fd,
     *, h, substeps, mass, gravity, stage_scale, q_diag, r_diag,
-    u_lo, u_hi, v_lo, v_hi, with_dist, n_stages,
 ):
-    s = pl.program_id(1)
-    x = tuple(xb_ref[0, i] for i in range(NX))
-    x1 = tuple(xb1_ref[0, i] for i in range(NX))
-    u = tuple(ub_ref[0, l] for l in range(NU))
-    xr = tuple(xr_ref[0, i] for i in range(NX))
-    ur = tuple(ur_ref[0, l] for l in range(NU))
-    fd = tuple(fd_ref[0, t] for t in range(3)) if with_dist else None
-    jd = hq_out.dtype
+    """One shooting stage's QP terms on tiles — shared by the standalone
+    linearization kernel and the fused whole-step kernel
+    (`ops/pallas/step_whole.py`).
 
-    # ---- Gauss-Newton stage cost terms ----
+    Returns (hq16, gx10, gu4, a40, b30, bc6, r10) as lists of tiles
+    (compute dtype; callers cast curvature payloads to jac dtype).
+    """
     wq = q_diag[7:10]
     q_ref = xr[6:10]
     qe = _qe_tiles(x[6:10], q_ref)
     hq16, gxq = _hq_gxq_tiles(q_ref, qe, wq)
-    for k in range(16):
-        hq_out[0, k] = (stage_scale * hq16[k]).astype(jd)
-    for i in range(6):
-        gx_out[0, i] = (stage_scale * q_diag[i]) * (x[i] - xr[i])
-    for i in range(4):
-        gx_out[0, 6 + i] = stage_scale * gxq[i]
-    for l in range(NU):
-        gu_out[0, l] = (stage_scale * r_diag[l]) * (u[l] - ur[l])
+    hq = [stage_scale * t for t in hq16]
+    gx = [(stage_scale * q_diag[i]) * (x[i] - xr[i]) for i in range(6)]
+    gx += [stage_scale * g for g in gxq]
+    gu = [(stage_scale * r_diag[l]) * (u[l] - ur[l]) for l in range(NU)]
 
-    # ---- RK4 step + the 8 varying tangent columns ----
+    # RK4 step + the 8 varying tangent columns
     phi_fn = functools.partial(
         _rk4, fd=fd, h=h, substeps=substeps, mass=mass, gravity=gravity
     )
@@ -166,26 +156,75 @@ def _lin_kernel(
         jvp(zx, tuple(one if m == l else zero for m in range(NU)))
         for l in range(NU)
     ]
+    a40 = [None] * 40
     for i in range(3):
         for j in range(4):
-            a_out[0, i * 4 + j] = a_cols[j][i].astype(jd)  # Apq
-            a_out[0, 12 + i * 4 + j] = a_cols[j][3 + i].astype(jd)  # Avq
+            a40[i * 4 + j] = a_cols[j][i]  # Apq
+            a40[12 + i * 4 + j] = a_cols[j][3 + i]  # Avq
     for i in range(4):
         for j in range(4):
-            a_out[0, 24 + i * 4 + j] = a_cols[j][6 + i].astype(jd)  # Aqq
+            a40[24 + i * 4 + j] = a_cols[j][6 + i]  # Aqq
+    b30 = [None] * 30
+    bc6 = [None] * 6
     for i in range(3):
         for l in range(3):
-            b_out[0, i * 3 + l] = b_cols[l][i].astype(jd)  # Bp omega cols
-            b_out[0, 9 + i * 3 + l] = b_cols[l][3 + i].astype(jd)  # Bv omega
+            b30[i * 3 + l] = b_cols[l][i]  # Bp omega cols
+            b30[9 + i * 3 + l] = b_cols[l][3 + i]  # Bv omega
         # collective columns stay compute dtype (see ocp_sparse docstring)
-        bc_out[0, i] = b_cols[3][i]
-        bc_out[0, 3 + i] = b_cols[3][3 + i]
+        bc6[i] = b_cols[3][i]
+        bc6[3 + i] = b_cols[3][3 + i]
     for i in range(4):
         for l in range(3):
-            b_out[0, 18 + i * 3 + l] = b_cols[l][6 + i].astype(jd)  # Bq
+            b30[18 + i * 3 + l] = b_cols[l][6 + i]  # Bq
+    r = [x_next[i] - x1[i] for i in range(NX)]
+    return hq, gx, gu, a40, b30, bc6, r
 
+
+def _lin_terminal_terms(x1, xrT, *, q_diag):
+    """Terminal-node GN terms (acados cost_scaling[-1] = 1)."""
+    wq = q_diag[7:10]
+    q_refT = xrT[6:10]
+    qeT = _qe_tiles(x1[6:10], q_refT)
+    hqT, gxqT = _hq_gxq_tiles(q_refT, qeT, wq)
+    gxT = [q_diag[i] * (x1[i] - xrT[i]) for i in range(6)] + list(gxqT)
+    return hqT, gxT
+
+
+def _lin_kernel(
+    xb_ref, xb1_ref, ub_ref, xr_ref, ur_ref, fd_ref, xrT_ref, x0_ref,
+    hq_out, gx_out, gu_out, a_out, b_out, bc_out, r_out,
+    lu_out, uu_out, lx_out, ux_out, hqT_out, gxT_out, dx0_out,
+    *, h, substeps, mass, gravity, stage_scale, q_diag, r_diag,
+    u_lo, u_hi, v_lo, v_hi, with_dist, n_stages,
+):
+    s = pl.program_id(1)
+    x = tuple(xb_ref[0, i] for i in range(NX))
+    x1 = tuple(xb1_ref[0, i] for i in range(NX))
+    u = tuple(ub_ref[0, l] for l in range(NU))
+    xr = tuple(xr_ref[0, i] for i in range(NX))
+    ur = tuple(ur_ref[0, l] for l in range(NU))
+    fd = tuple(fd_ref[0, t] for t in range(3)) if with_dist else None
+    jd = hq_out.dtype
+
+    hq, gx, gu, a40, b30, bc6, r = _lin_stage_terms(
+        x, x1, u, xr, ur, fd,
+        h=h, substeps=substeps, mass=mass, gravity=gravity,
+        stage_scale=stage_scale, q_diag=q_diag, r_diag=r_diag,
+    )
+    for k in range(16):
+        hq_out[0, k] = hq[k].astype(jd)
     for i in range(NX):
-        r_out[0, i] = x_next[i] - x1[i]
+        gx_out[0, i] = gx[i]
+    for l in range(NU):
+        gu_out[0, l] = gu[l]
+    for j in range(40):
+        a_out[0, j] = a40[j].astype(jd)
+    for j in range(30):
+        b_out[0, j] = b30[j].astype(jd)
+    for j in range(6):
+        bc_out[0, j] = bc6[j]
+    for i in range(NX):
+        r_out[0, i] = r[i]
 
     # ---- bound residuals ----
     for l in range(NU):
@@ -204,15 +243,12 @@ def _lin_kernel(
     # ---- terminal cost terms (ride the last grid step; x1 == x_bar[N]) ----
     @pl.when(s == n_stages - 1)
     def _():
-        q_refT = tuple(xrT_ref[0, 6 + i] for i in range(4))
-        qeT = _qe_tiles(x1[6:10], q_refT)
-        hqT, gxqT = _hq_gxq_tiles(q_refT, qeT, wq)
+        xrT = tuple(xrT_ref[0, i] for i in range(NX))
+        hqT, gxT = _lin_terminal_terms(x1, xrT, q_diag=q_diag)
         for k in range(16):
             hqT_out[0, k] = hqT[k].astype(jd)
-        for i in range(6):
-            gxT_out[0, i] = q_diag[i] * (x1[i] - xrT_ref[0, i])
-        for i in range(4):
-            gxT_out[0, 6 + i] = gxqT[i]
+        for i in range(NX):
+            gxT_out[0, i] = gxT[i]
 
 
 @functools.partial(

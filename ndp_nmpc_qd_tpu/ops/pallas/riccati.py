@@ -41,7 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NX = 10
 NU = 4
-SUB = 8  # sublanes per batch block
+# Sublanes per batch block: every matrix element is a (SUB, 128) tile over a
+# SUB*128-scenario block. The native VPU tile is (8, 128); SUB = 16/32 packs
+# 2/4 native tiles of INDEPENDENT scenarios into each elementwise op, hiding
+# the sequential stage recursions' dependency latency (the whole-IPM kernel
+# measures ~3x above its FLOP estimate at SUB=8 — latency-bound). Costs
+# SUB/8 x the VMEM per grid step; QD_TPU_SUB env overrides for experiments.
+import os as _os
+
+SUB = int(_os.environ.get("QD_TPU_SUB", "8"))
 LANE = 128  # lanes per batch block
 BLOCK = SUB * LANE  # scenarios per batch block
 

@@ -97,6 +97,9 @@ def make_episode(
     solver_jac_bf16: bool = False,
     solver_lqr_start: bool = True,
     solver_whole_ipm: bool = False,
+    solver_packed_state: bool = False,
+    solver_whole_step: bool = False,
+    solver_interpret: bool = False,
     swarm_axis_name: str | None = None,
     swarm_shards: int = 1,
     n_groups: int = 1,
@@ -181,11 +184,16 @@ def make_episode(
             if n_drones >= 512 and _jax.default_backend() != "cpu"
             else "jax"
         )
+    assert not (solver_packed_state and swarm_axis_name is not None), (
+        "kernel-layout state folds the drone axis into lanes; the sharded "
+        "episode shards the drone axis — use the batch-first layout there"
+    )
     ctl = make_batched_rti_controller(
         ocp, veh, with_disturbance=True, qp_iters=qp_iters,
         backend=solver_backend, warm_start=solver_warm_start,
         jac_bf16=solver_jac_bf16, lqr_start=solver_lqr_start,
-        whole_ipm=solver_whole_ipm,
+        whole_ipm=solver_whole_ipm, packed_state=solver_packed_state,
+        whole_step=solver_whole_step, interpret=solver_interpret,
     )
     D, N = n_drones, ocp.N_node
     S = n_groups
@@ -370,11 +378,34 @@ def make_episode(
         ok_tick = info.ok
         n_reseeded = jnp.zeros((), jnp.int32)
         if recover:
-            from ..utils.recovery import recover_rti, screen_nan
-
             ok_tick = ok_tick & jnp.all(jnp.isfinite(u0), axis=-1)
-            ok_tick = screen_nan(rti, ok_tick)
-            rti = recover_rti(rti, ok_tick, xr, ur)
+            if getattr(ctl, "layout", "batch") == "kernel":
+                from ..ops.pallas.riccati import BLOCK, pack
+                from ..utils.recovery import (
+                    pack_ok,
+                    recover_rti_packed,
+                    screen_nan_packed,
+                )
+
+                okp = screen_nan_packed(rti, pack_ok(ok_tick))
+                ok_tick = ok_tick & okp.reshape(-1)[: ok_tick.shape[0]]
+
+                def padb(a):
+                    pad = (-a.shape[0]) % BLOCK
+                    if pad == 0:
+                        return a
+                    return jnp.concatenate(
+                        [a, jnp.tile(a[:1], (pad,) + (1,) * (a.ndim - 1))]
+                    )
+
+                rti = recover_rti_packed(
+                    rti, okp, pack(padb(xr)), pack(padb(ur))
+                )
+            else:
+                from ..utils.recovery import recover_rti, screen_nan
+
+                ok_tick = screen_nan(rti, ok_tick)
+                rti = recover_rti(rti, ok_tick, xr, ur)
             hold_u = jnp.zeros((4,), dtype).at[3].set(veh.gravity)
             u0 = jnp.where(ok_tick[:, None], u0, hold_u)
             n_reseeded = jnp.sum(

@@ -199,6 +199,53 @@ def make_linearizer_pallas(
     return linearize_sparse, consts, phi
 
 
+def make_whole_step(
+    ocp: OcpParams, vehicle: VehicleParams, with_disturbance: bool,
+    *, jac_dtype=None, interpret: bool = False, num_iters: int = 4,
+    tau: float = 0.95, sigma: float = 0.1, mu_init: float = 1.0,
+    s_min: float = 1e-3, mu_min: float = 1e-12,
+):
+    """The ONE-KERNEL control step (`ops/pallas/step_whole.py`):
+    linearization + whole IPM + SQP axpy fused, all inputs/outputs in
+    packed kernel layout. Returns step(xb, ub, xr_p, ur_p, fd_p, x0_p,
+    warm: IpmWarm) -> (xb_new, ub_new, lu_lo, lu_up, lx_lo, lx_up,
+    mu (tail), eq_res (tail)).
+
+    IPM knob defaults match `qp_ipm_sparse.ipm_sparse`."""
+    from ..ops.pallas.step_whole import control_step_whole
+
+    dt_h = ocp.th_pred
+    stage_scale = dt_h if ocp.scale_stage_cost_by_dt else 1.0
+    q_diag_np = np.asarray(ocp.q_diag())
+    r_diag_np = np.asarray(ocp.r_diag())
+    consts = dict(
+        h=float(dt_h), substeps=int(ocp.erk_substeps),
+        mass=float(vehicle.mass), gravity=float(vehicle.gravity),
+        stage_scale=float(stage_scale),
+        q_diag=tuple(float(v) for v in q_diag_np),
+        r_diag=tuple(float(v) for v in r_diag_np),
+        u_lo=tuple(float(v) for v in np.asarray(ocp.u_lower())),
+        u_hi=tuple(float(v) for v in np.asarray(ocp.u_upper())),
+        v_lo=tuple(float(v) for v in np.asarray(ocp.v_lower())),
+        v_hi=tuple(float(v) for v in np.asarray(ocp.v_upper())),
+        with_dist=bool(with_disturbance), big=float(BIG),
+        diag6_stage=tuple(float(v) * stage_scale for v in q_diag_np[:6]),
+        diag6_term=tuple(float(v) for v in q_diag_np[:6]),
+        rdiag_stage=tuple(float(v) * stage_scale for v in r_diag_np),
+        tau=tau, sigma=sigma, mu_init=mu_init, s_min=s_min, mu_min=mu_min,
+        num_iters=num_iters, jac_dtype=jac_dtype, interpret=interpret,
+    )
+
+    def step(xb, ub, xr_p, ur_p, fd_p, x0_p, warm):
+        return control_step_whole(
+            xb, ub, xr_p, ur_p, fd_p, x0_p,
+            warm.lu_lo, warm.lu_up, warm.lx_lo, warm.lx_up, warm.mu,
+            **consts,
+        )
+
+    return step
+
+
 def make_ocp_functions_sparse(
     ocp: OcpParams, vehicle: VehicleParams, with_disturbance: bool,
     jac_dtype=None,

@@ -37,6 +37,50 @@ def screen_nan(tree, ok: jnp.ndarray) -> jnp.ndarray:
     return ok
 
 
+def pack_ok(ok: jnp.ndarray) -> jnp.ndarray:
+    """(B,) health flags -> packed (nb, 8, 128) lane flags (padding lanes
+    healthy), for the kernel-layout-resident RtiState mode."""
+    from ..ops.pallas.riccati import BLOCK, pack
+
+    pad = (-ok.shape[0]) % BLOCK
+    if pad:
+        ok = jnp.concatenate([ok, jnp.ones((pad,), bool)])
+    return pack(ok[:, None, None])[0, 0]
+
+
+def screen_nan_packed(tree, okp: jnp.ndarray) -> jnp.ndarray:
+    """`screen_nan` for kernel-layout leaves: the scenario axes are the
+    TRAILING (nb, 8, 128); okp is packed lane flags from `pack_ok`."""
+
+    def leaf_ok(x):
+        axes = tuple(range(0, x.ndim - 3))
+        return jnp.all(jnp.isfinite(x), axis=axes)
+
+    for f in [leaf_ok(x) for x in jax.tree.leaves(tree)]:
+        okp = okp & f
+    return okp
+
+
+def recover_rti_packed(
+    state: RtiState, okp: jnp.ndarray, xr_p: jnp.ndarray, ur_p: jnp.ndarray
+) -> RtiState:
+    """`recover_rti` for the kernel-layout-resident state: okp packed lane
+    flags; xr_p/ur_p the reset targets ALREADY in kernel layout."""
+    ipm = state.ipm
+    if ipm is not None:
+        lul, luu, lxl, lxu, mu = ipm
+        ipm = (
+            jnp.where(okp, lul, 0.0), jnp.where(okp, luu, 0.0),
+            jnp.where(okp, lxl, 0.0), jnp.where(okp, lxu, 0.0),
+            jnp.where(okp, mu, -1.0),  # cold sentinel
+        )
+    return RtiState(
+        x_bar=jnp.where(okp, state.x_bar, xr_p),
+        u_bar=jnp.where(okp, state.u_bar, ur_p),
+        ipm=ipm,
+    )
+
+
 def recover_rti(
     state: RtiState, ok: jnp.ndarray, xr: jnp.ndarray, ur: jnp.ndarray
 ) -> RtiState:

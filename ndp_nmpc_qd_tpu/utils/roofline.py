@@ -141,6 +141,7 @@ def step_cost(
     whole_kernel: bool = False,
     lqr_start: bool = False,
     packed_state: bool = False,
+    whole_step: bool = False,
 ) -> StepCost:
     """Full fused control step: MLP forecast + linearize + IPM + RTI glue.
 
@@ -163,6 +164,29 @@ def step_cost(
     # linearize kernel: packed x_bar/u_bar/xr/ur/f_dist/x0 in, payload out
     lin_in = 4 * (2 * 10 * (N + 1) + 2 * 4 * N + 3 * (N + 1) + 10)
     lin = lin_in + payload
+
+    if whole_step:
+        # ONE-kernel control step (`ops/pallas/step_whole.py`): the QP
+        # payload lives only in VMEM scratch. HBM traffic = iterates +
+        # per-tick inputs + carried duals in; updated iterates + duals +
+        # health out. Implies packed_state (kernel-layout-resident state).
+        zxzu_, slacks_, duals_ = _state_floats(N)
+        pack = 2 * (lin_in - 4 * zxzu_)  # per-tick refs/x0/f_dist only
+        rd = lin_in + 4 * (duals_ + 1)
+        wr = 4 * (zxzu_ + duals_ + 2)
+        rti = 4 * zxzu_  # health checks read packed iterates
+        breakdown = {
+            "mlp": 4 * (2 * 10 * (N + 1) + 3 + 3 * (N + 1)) * 2,
+            "pack": pack, "fused_step": rd + wr, "rti_glue": rti,
+        }
+        total = sum(breakdown.values())
+        per_iter_flops = 2 * (2900 + 300) * N
+        flops = (
+            qp_iters * per_iter_flops + 2 * 2500 * N + 2 * 2 * 64 * 128 * 3
+        )
+        return StepCost(
+            hbm_bytes=float(total), flops=float(flops), breakdown=breakdown
+        )
 
     if packed_state:
         # pack copies only for the per-tick inputs (xr/ur/f_dist/x0);

@@ -142,3 +142,30 @@ def test_csv_ingestion_roundtrip(tmp_path, rng):
             params, opt_state, jnp.asarray(x_tr), jnp.asarray(y_tr)
         )
     assert np.isfinite(float(loss)) and float(loss) <= l0 * 1.5
+
+
+def test_mlp_bf16_compute_close_to_f32(rng):
+    """bf16 MXU compute path: forecast within ~1% of the f32 forward on the
+    interaction envelope (the force scale is 0-3 N; the validated bench
+    config pairs this with the bf16 stage payload)."""
+    import os
+
+    params = load_npz(
+        os.path.join(
+            os.path.dirname(__file__), "..", "assets",
+            "downwash_analytic_sn4.npz",
+        )
+    )
+    x = np.zeros((512, 6), np.float32)
+    x[:, 0:2] = rng.uniform(-1.2, 1.2, (512, 2))
+    x[:, 2] = rng.uniform(-0.5, 3.0, 512)
+    x[:, 3:6] = rng.uniform(-1.0, 1.0, (512, 3))
+    f32 = np.asarray(mlp_forward(params, jnp.asarray(x)))
+    bf16 = np.asarray(
+        mlp_forward(params, jnp.asarray(x), compute_dtype=jnp.bfloat16)
+    )
+    assert bf16.dtype == np.float32
+    scale = max(np.abs(f32).max(), 1.0)
+    assert np.max(np.abs(bf16 - f32)) < 0.02 * scale, (
+        np.max(np.abs(bf16 - f32)), scale
+    )

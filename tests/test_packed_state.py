@@ -21,11 +21,12 @@ from ndp_nmpc_qd_tpu.solver.rti import (
 )
 
 
-def _mk(cfg, *, packed, whole):
+def _mk(cfg, *, packed, whole, step=False):
     return make_batched_rti_controller(
         cfg.ocp, cfg.vehicle, with_disturbance=True, qp_iters=4,
         backend="pallas", interpret=True, warm_start=True,
         lqr_start=False, whole_ipm=whole, packed_state=packed,
+        whole_step=step,
     )
 
 
@@ -40,6 +41,41 @@ def _case(B, N, cfg):
     ur = jnp.tile(hover_input(cfg.vehicle, (B,))[:, None, :], (1, N, 1))
     f = 0.2 * jax.random.normal(k3, (B, N + 1, 3), jnp.float32)
     return x0, xr, ur, f
+
+
+def test_whole_step_kernel_matches_two_kernel_path():
+    """The ONE-launch control step (linearize + IPM + axpy fused,
+    `ops/pallas/step_whole.py`) == the two-kernel packed-state path,
+    element-level over 3 chained ticks."""
+    cfg = NdpNmpcConfig()
+    N = cfg.ocp.N_node
+    B = 8
+    x0, xr, ur, f = _case(B, N, cfg)
+
+    ctl_a = _mk(cfg, packed=True, whole=True)
+    ctl_b = _mk(cfg, packed=True, whole=True, step=True)
+    st_a = ctl_a.reset(xr, ur)
+    st_b = ctl_b.reset(xr, ur)
+    for tick in range(3):
+        u_a, st_a, info_a = ctl_a.update(st_a, x0, xr, ur, f)
+        u_b, st_b, info_b = ctl_b.update(st_b, x0, xr, ur, f)
+        np.testing.assert_allclose(
+            np.asarray(u_a), np.asarray(u_b), atol=1e-5, err_msg=f"tick {tick}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(info_a.eq_res), np.asarray(info_b.eq_res),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.x_bar), np.asarray(st_b.x_bar), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.u_bar), np.asarray(st_b.u_bar), atol=2e-5
+        )
+        for la, lb in zip(st_a.ipm, st_b.ipm):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5
+            )
 
 
 @pytest.mark.parametrize("whole", [True, False])

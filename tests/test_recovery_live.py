@@ -138,3 +138,31 @@ def test_daemon_health_recovery(ns):
     _, att = ctl.t.att.read_latest()
     assert np.isfinite(att["body_rate"]).all() and np.isfinite(att["thrust"])
     assert res["ticks"] == 120
+
+
+def test_episode_chaos_recovery_packed_state():
+    """Same respawn-analog chaos drill on the kernel-layout-resident
+    whole-step solver path (packed recovery: `utils.recovery.pack_ok` /
+    `recover_rti_packed`), interpret mode."""
+    cfg = NdpNmpcConfig()
+    traj = _small_traj()
+    init_fn, _, run_fn = make_episode(
+        cfg, traj, n_drones=3, hold_ticks=2, qp_iters=3, recover=True,
+        solver_backend="pallas", solver_interpret=True,
+        solver_warm_start=True, solver_lqr_start=False,
+        solver_packed_state=True, solver_whole_step=True,
+    )
+    run = jax.jit(run_fn, static_argnums=1)
+    st = init_fn(dtype=jnp.float32)
+    st, m0, _ = run(st, 5)
+    assert bool(np.all(np.asarray(m0.ok))) and int(m0.recovered) == 0
+    # poison drone 1's iterates: lane 1 of block 0 in the packed layout
+    st = st._replace(
+        rti=st.rti._replace(
+            x_bar=st.rti.x_bar.at[:, :, 0, 0, 1].set(jnp.nan)
+        )
+    )
+    st, m1, _ = run(st, 6)
+    assert bool(np.all(np.asarray(m1.ok))), np.asarray(m1.ok)
+    assert int(m1.recovered) >= 1
+    assert bool(np.all(np.isfinite(np.asarray(st.plant.x))))

@@ -54,6 +54,12 @@ def main():
         help="whole-solve kernel with the split-precision bf16 payload",
     )
     ap.add_argument(
+        "--whole-step", action="store_true",
+        help="also validate the ONE-kernel control step (linearize + IPM + "
+        "axpy fused, kernel-layout-resident state + bf16 payload — the "
+        "bench configuration, ops/pallas/step_whole.py)",
+    )
+    ap.add_argument(
         "--drones", type=int, default=1,
         help="3 = the three_qd_ndp topology (leader NDP forecast + "
         "followers + plant downwash coupling); deviations cover ALL drones",
@@ -132,12 +138,25 @@ def main():
                 },
             )
         )
+    if args.whole_step:
+        variants.append(
+            (
+                "whole_step_bf16",
+                {
+                    "solver_warm_start": True,
+                    "qp_iters": args.warm_iters or 4,
+                    "solver_jac_bf16": True,
+                    "solver_packed_state": True,
+                    "solver_whole_step": True,
+                },
+            )
+        )
     traces = {}
     for backend, extra in variants:
         init_fn, _, run_fn = make_episode(
             cfg, traj, hold_ticks=args.hold_ticks,
             record_traces=True,
-            solver_backend="pallas" if backend.startswith("pallas") else backend,
+            solver_backend="jax" if backend == "jax" else "pallas",
             **{"n_drones": 1, **ndp_kw, **extra},
         )
         st = init_fn(dtype=jnp.float32)
