@@ -17,6 +17,15 @@ import os
 import sys
 import time
 
+# 2048-lane batch blocks for the kernels ((16,128) tiles = two native VPU
+# tiles of independent scenarios per elementwise op): the whole-step kernel
+# is latency-bound on its sequential stage chains (profiler: ~3x above the
+# VPU FLOP estimate at SUB=8), and the wider tiles hide that dependency
+# latency — measured 5.9 -> 5.5 ms at B=32768. Must be set before the
+# package import (ops/pallas/riccati.py reads it at import time). Tests
+# keep the default SUB=8 (interpret cost scales with the block).
+os.environ.setdefault("QD_TPU_SUB", "16")
+
 import jax
 
 # persistent compilation cache: the Pallas Riccati kernels take minutes to

@@ -156,7 +156,7 @@ def ipm_sparse(
     nu = p.gu.shape[1]
     dt = p.gx.dtype
     nb = p.gx.shape[2]
-    tail = (nb, 8, 128)
+    tail = tuple(p.gx.shape[2:])  # (nb, SUB, 128)
 
     if whole_kernel:
         from ..ops.pallas.ipm_whole import riccati_ipm_whole
