@@ -63,7 +63,13 @@ def main():
     # whole-solve persistent-VMEM IPM kernel (ops/pallas/ipm_whole.py):
     # the stage payload streams from HBM once per solve instead of once per
     # iteration; implies the zero-control start (the validated
-    # equal-accuracy configuration for the warm-started path)
+    # equal-accuracy configuration for the warm-started path).
+    # Round-4 mission validation of the FULL bench configuration
+    # (whole-step kernel + packed state + bf16 payload + warm@4 +
+    # QD_TPU_SUB=16, tools/validate_backends.py --whole-step, 2026-08-21):
+    # max control deviation vs the independent scan backend 5.85e-5
+    # single-drone / 5.86e-5 three-drone NDP over full 500-tick missions —
+    # 17x inside the 1e-3 golden bound, RMSE identical to the mm.
     whole_ipm = os.environ.get("BENCH_WHOLE_IPM", "1") == "1"
     lqr_start = (
         os.environ.get("BENCH_LQR_START", "0" if whole_ipm else "1") == "1"

@@ -51,20 +51,22 @@ def mlp_forward(
 ) -> jnp.ndarray:
     """x (..., 6) -> force (..., 3). ReLU between layers, linear head.
 
-    `compute_dtype=bfloat16` runs the matmuls in bf16 on the MXU with f32
-    accumulation (profiler-measured 4x on the fused-step forecast; forecast
-    error ~0.3% of the 0-3 N force scale, far inside the wake model's own
-    fidelity — see tests/test_downwash.py bf16 bound)."""
+    `compute_dtype=bfloat16` runs the matmuls AND hidden activations in
+    bf16 (MXU accumulates f32 internally; the head layer emits f32). The
+    profiler shows this path is activation-bandwidth-bound, not
+    multiply-bound (B*21 x 128 hidden tensors dominate), so the bf16
+    activations are what actually halve its cost. Forecast error ~0.3% of
+    the 0-3 N force scale — see tests/test_downwash.py bf16 bound."""
     acc = x.dtype
     h = x if compute_dtype is None else x.astype(compute_dtype)
     n = len(params.weights)
     for i, (w, b) in enumerate(zip(params.weights, params.biases)):
         w = w if compute_dtype is None else w.astype(compute_dtype)
-        h = jnp.dot(h, w.T, preferred_element_type=acc) + b
-        if i < n - 1:
+        last = i == n - 1
+        out_dt = acc if (compute_dtype is None or last) else compute_dtype
+        h = jnp.dot(h, w.T, preferred_element_type=out_dt) + b.astype(out_dt)
+        if not last:
             h = jax.nn.relu(h)
-        if compute_dtype is not None and i < n - 1:
-            h = h.astype(compute_dtype)
     return h.astype(acc)
 
 
