@@ -86,6 +86,11 @@ def run_mission(args) -> dict:
         args.whole_ipm = on_accel
     if args.bf16 is None:
         args.bf16 = on_accel
+    # the whole-STEP kernel + kernel-layout-resident state: exactly the
+    # bench configuration (mission-validated at 5.85e-5/5.86e-5 deviation,
+    # tools/validate_backends.py --whole-step)
+    if args.whole_step is None:
+        args.whole_step = on_accel
 
     cfg = NdpNmpcConfig(sim=SimParams(k_throttle_true=args.k_true))
     if args.scenario:
@@ -135,6 +140,8 @@ def run_mission(args) -> dict:
             solver_warm_start=args.warm,
             solver_whole_ipm=args.whole_ipm,
             solver_jac_bf16=args.bf16,
+            solver_packed_state=args.whole_step,
+            solver_whole_step=args.whole_step,
             recover=args.recover,
         )
         topology = dict(n_drones=n_swarms * 3)
@@ -151,6 +158,8 @@ def run_mission(args) -> dict:
             cfg, traj, hold_ticks=args.hold_ticks,
             solver_warm_start=args.warm, qp_iters=args.qp_iters,
             solver_whole_ipm=args.whole_ipm, solver_jac_bf16=args.bf16,
+            solver_packed_state=args.whole_step,
+            solver_whole_step=args.whole_step,
             recover=args.recover, **kwargs
         )
     n_ticks = args.hold_ticks + int(args.track_secs / cfg.ocp.ts_nmpc)
@@ -193,9 +202,22 @@ def run_mission(args) -> dict:
         result["pos_rmse_leaders"] = summarize(pr[:, 0])
         result["pos_rmse_followers"] = summarize(pr[:, 1:])
     result |= {
+        # resolved deployment config. backend mirrors make_episode's auto
+        # rule: the packed kernels want >= 512 drones to fill their lane
+        # blocks; smaller topologies run the scan backend, where the
+        # kernel flags (whole_ipm/whole_step/bf16) are inert
         "solver": {
+            "backend": (
+                "pallas"
+                if (
+                    jax.default_backend() not in ("cpu",)
+                    and topology.get("n_drones", 1) >= 512
+                )
+                else "jax"
+            ),
             "qp_iters": args.qp_iters, "warm": bool(args.warm),
             "whole_ipm": bool(args.whole_ipm), "bf16": bool(args.bf16),
+            "whole_step": bool(args.whole_step),
         },
         "ok": ok.tolist() if ok.size <= 8 else [bool(ok.all())],
         "recovered": int(np.asarray(metrics.recovered)),
@@ -287,6 +309,15 @@ def main(argv=None):
     )
     mission.add_argument(
         "--no-whole-ipm", dest="whole_ipm", action="store_false",
+        help=argparse.SUPPRESS,
+    )
+    mission.add_argument(
+        "--whole-step", action="store_true", default=None,
+        help="ONE-kernel control step + kernel-layout state (accelerator "
+        "default: on — the bench configuration)",
+    )
+    mission.add_argument(
+        "--no-whole-step", dest="whole_step", action="store_false",
         help=argparse.SUPPRESS,
     )
     mission.add_argument(

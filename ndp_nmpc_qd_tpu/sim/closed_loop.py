@@ -188,6 +188,10 @@ def make_episode(
         "kernel-layout state folds the drone axis into lanes; the sharded "
         "episode shards the drone axis — use the batch-first layout there"
     )
+    if solver_backend != "pallas":
+        # packed/whole-step are pallas-path features; the scan backend
+        # (small CPU topologies under backend="auto") ignores them
+        solver_packed_state = solver_whole_step = False
     ctl = make_batched_rti_controller(
         ocp, veh, with_disturbance=True, qp_iters=qp_iters,
         backend=solver_backend, warm_start=solver_warm_start,
