@@ -45,6 +45,14 @@ def run_mission(args) -> dict:
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache (as bench.py): mission programs include
+    # multi-minute Mosaic kernel compiles; cache them across invocations
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
