@@ -251,6 +251,7 @@ def main():
         "jac_bf16": jac_bf16, "lqr_start": lqr_start,
         "packed_state": packed_state, "whole_step": whole_step,
         "mlp_bf16": mlp_bf16,
+        "sub_lanes": int(os.environ.get("QD_TPU_SUB", "8")),
         "roofline": roof,
     }}
     if sharded_row is not None:

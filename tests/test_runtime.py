@@ -88,7 +88,11 @@ def test_seqlock_no_torn_reads(ns):
             torn += 1
     stop.set()
     th.join()
-    assert reads > 1000
+    # enough samples for the integrity claim to be meaningful; the exact
+    # read rate is machine-load-dependent (a 2-CPU box under a concurrent
+    # full-suite run was measured at ~400 reads/s), so no throughput floor
+    # beyond statistical sufficiency
+    assert reads > 200, reads
     assert torn == 0, f"{torn}/{reads} torn reads"
     t_w.close()
     t_r.close()
