@@ -50,8 +50,9 @@ def main():
     # down to warm@3 (whole: 1.9e-6 @6/@5, 1.9e-6 @4, 2.8e-5 @3; bf16:
     # 5.9e-5 at every count), and the far-regime envelope holds 100/100 to
     # 100 m at 3-5 iterations (tools/qp_envelope.py). Bench default is
-    # warm@4 — one-step margin above the validated floor; deployment
-    # (cli/daemons) keeps the conservative warm@6.
+    # warm@4 — one-step margin above the validated floor — and pallas-backend
+    # missions (cli.py) deploy the same warm@4; scan-backend missions (small
+    # topologies / CPU) run cold @ 12 (no dual warm start there).
     qp_iters = int(os.environ.get("BENCH_QP_ITERS", "4"))
     # split-precision stage payload (hq/a/b bf16; bc/gx/gu/r f32 — see
     # `solver/ocp_sparse.py` docstring) is the bench default: validated on
@@ -178,10 +179,16 @@ def main():
             make_sharded_step,
         )
 
+        from ndp_nmpc_qd_tpu.ops.pallas.riccati import BLOCK
+
         mesh = data_mesh()
         nd = int(mesh.devices.size)
+        # the packed layout shards whole lane blocks: each device's shard
+        # must be a multiple of BLOCK = SUB*128 (ADVICE r4: 1024 was stale
+        # once QD_TPU_SUB=16 made BLOCK 2048 — the guard passed on shapes
+        # the sharded run then crashed on)
         shardable = B % nd == 0 and (
-            not packed_state or (B // nd) % 1024 == 0
+            not packed_state or (B // nd) % BLOCK == 0
         )
         if shardable:
             args0 = (rti, x0, xr, ur, other)

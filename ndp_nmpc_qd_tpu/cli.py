@@ -77,28 +77,37 @@ def run_mission(args) -> dict:
     if args.f64:
         jax.config.update("jax_enable_x64", True)
 
-    # ONE config story (VERDICT r3 item 5): on accelerator devices missions
-    # deploy the SAME configuration the bench reports — whole-IPM kernel,
-    # dual warm start @ 4 iterations, bf16 split-precision payload
-    # (validated: 5.9e-5 full-mission max control deviation vs the scan
-    # backend, far-regime envelope to 100 m at warm@3-5 —
-    # tools/validate_backends.py / tools/qp_envelope.py, see bench.py
-    # docstring). CPU missions keep the conservative scan-backend defaults
-    # (qp_iters=12, no warm) — that backend has no kernel to warm.
+    # ONE config story (VERDICT r3 item 5): missions that resolve to the
+    # PALLAS backend deploy the SAME configuration the bench reports —
+    # whole-IPM kernel, dual warm start @ 4 iterations, bf16
+    # split-precision payload (validated: 5.9e-5 full-mission max control
+    # deviation vs the scan backend, far-regime envelope to 100 m at
+    # warm@3-5 — tools/validate_backends.py / tools/qp_envelope.py, see
+    # bench.py docstring). The defaults key on the RESOLVED backend, not
+    # the device (ADVICE r4 high): small topologies (n_drones < 512) run
+    # the scan backend even on a TPU machine, and that backend has no
+    # dual warm start — warm@4 there would silently run a COLD
+    # 4-iteration IPM. Scan missions keep the validated cold-start
+    # qp_iters=12 regardless of device.
     on_accel = jax.default_backend() not in ("cpu",)
+    n_total = int(topology.get("n_drones", 1))
+    if args.topology == "swarm" and args.formation:
+        n_total = max(args.drones // 3, 1) * 3
+    # mirror make_episode's backend="auto" rule (sim/closed_loop.py:179-184)
+    use_pallas = on_accel and n_total >= 512
     if args.qp_iters is None:
-        args.qp_iters = 4 if on_accel else 12
+        args.qp_iters = 4 if use_pallas else 12
     if args.warm is None:
-        args.warm = on_accel
+        args.warm = use_pallas
     if args.whole_ipm is None:
-        args.whole_ipm = on_accel
+        args.whole_ipm = use_pallas
     if args.bf16 is None:
-        args.bf16 = on_accel
+        args.bf16 = use_pallas
     # the whole-STEP kernel + kernel-layout-resident state: exactly the
     # bench configuration (mission-validated at 5.85e-5/5.86e-5 deviation,
     # tools/validate_backends.py --whole-step)
     if args.whole_step is None:
-        args.whole_step = on_accel
+        args.whole_step = use_pallas
 
     cfg = NdpNmpcConfig(sim=SimParams(k_throttle_true=args.k_true))
     if args.scenario:
@@ -211,21 +220,18 @@ def run_mission(args) -> dict:
         result["pos_rmse_followers"] = summarize(pr[:, 1:])
     result |= {
         # resolved deployment config. backend mirrors make_episode's auto
-        # rule: the packed kernels want >= 512 drones to fill their lane
-        # blocks; smaller topologies run the scan backend, where the
-        # kernel flags (whole_ipm/whole_step/bf16) are inert
+        # rule (the same use_pallas the defaults keyed on): the packed
+        # kernels want >= 512 drones to fill their lane blocks; smaller
+        # topologies run the scan backend, where the kernel flags
+        # (warm/whole_ipm/whole_step/bf16) are inert — report them as the
+        # solver actually applied them, not as requested
         "solver": {
-            "backend": (
-                "pallas"
-                if (
-                    jax.default_backend() not in ("cpu",)
-                    and topology.get("n_drones", 1) >= 512
-                )
-                else "jax"
-            ),
-            "qp_iters": args.qp_iters, "warm": bool(args.warm),
-            "whole_ipm": bool(args.whole_ipm), "bf16": bool(args.bf16),
-            "whole_step": bool(args.whole_step),
+            "backend": "pallas" if use_pallas else "jax",
+            "qp_iters": args.qp_iters,
+            "warm": bool(args.warm) and use_pallas,
+            "whole_ipm": bool(args.whole_ipm) and use_pallas,
+            "bf16": bool(args.bf16) and use_pallas,
+            "whole_step": bool(args.whole_step) and use_pallas,
         },
         "ok": ok.tolist() if ok.size <= 8 else [bool(ok.all())],
         "recovered": int(np.asarray(metrics.recovered)),
@@ -300,20 +306,22 @@ def main(argv=None):
     mission.add_argument("--nn", default=None, help="downwash net .npz")
     mission.add_argument("--cpu", action="store_true", help="force CPU backend")
     mission.add_argument("--f64", action="store_true")
-    # deployment defaults are device-resolved in run_mission (ONE config
-    # story with bench.py on accelerators: whole-IPM + warm@4 + bf16;
-    # conservative scan defaults on CPU). Flags override either way.
+    # deployment defaults are backend-resolved in run_mission (ONE config
+    # story with bench.py on pallas-backend missions: whole-IPM + warm@4 +
+    # bf16; cold scan defaults (qp_iters=12) whenever the scan backend is
+    # selected — small topologies OR CPU). Flags override either way.
     mission.add_argument(
         "--warm", action="store_true", default=None,
-        help="carry QP multipliers across ticks (accelerator default: on)",
+        help="carry QP multipliers across ticks (pallas-backend default: "
+        "on; the scan backend has no dual warm start)",
     )
     mission.add_argument(
         "--no-warm", dest="warm", action="store_false", help=argparse.SUPPRESS
     )
     mission.add_argument(
         "--whole-ipm", action="store_true", default=None,
-        help="whole-solve persistent-VMEM IPM kernel (accelerator default: "
-        "on)",
+        help="whole-solve persistent-VMEM IPM kernel (pallas-backend "
+        "default: on)",
     )
     mission.add_argument(
         "--no-whole-ipm", dest="whole_ipm", action="store_false",
@@ -321,7 +329,7 @@ def main(argv=None):
     )
     mission.add_argument(
         "--whole-step", action="store_true", default=None,
-        help="ONE-kernel control step + kernel-layout state (accelerator "
+        help="ONE-kernel control step + kernel-layout state (pallas-backend "
         "default: on — the bench configuration)",
     )
     mission.add_argument(
@@ -330,15 +338,16 @@ def main(argv=None):
     )
     mission.add_argument(
         "--bf16", action="store_true", default=None,
-        help="bf16 split-precision stage payload (accelerator default: on; "
-        "validated 5.9e-5 mission deviation)",
+        help="bf16 split-precision stage payload (pallas-backend default: "
+        "on; validated 5.9e-5 mission deviation)",
     )
     mission.add_argument(
         "--no-bf16", dest="bf16", action="store_false", help=argparse.SUPPRESS
     )
     mission.add_argument(
         "--qp-iters", type=int, default=None,
-        help="IPM iterations (accelerator default 4 w/ warm start, CPU 12)",
+        help="IPM iterations (pallas-backend default 4 w/ warm start; "
+        "scan-backend default 12, cold)",
     )
     mission.add_argument(
         "--no-recover", dest="recover", action="store_false",

@@ -26,7 +26,7 @@ equal-accuracy configuration for the dual-warm-started production path, see
 the long note there) and the res2-based equality residual. The reference role
 matched is the HPIPM solve at `nmpc_ctl/nmpc_body_rate_ctl.py:71-80`.
 
-VMEM budget per 1024-lane block (f32, 4 KB/tile): payload ~2.9k tiles in +
+VMEM budget per SUB*128-lane block (f32 at SUB=8, 4 KB/tile): payload ~2.9k tiles in +
 ~0.6k out (double-buffered by the pipeline) + ~1.8k scratch (K/kf, rhat,
 slacks, direction store, P) ~= 35 MB total.
 """
@@ -419,7 +419,7 @@ def riccati_ipm_whole(
     """The whole IPM solve in one kernel launch.
 
     Shapes as `riccati_sweep_sparse` (tail = (nb, 8, 128)), plus the carried
-    dual state wlu/wlx (same layout as `IpmWarm`) and wmu (nb, 8, 128) with
+    dual state wlu/wlx (same layout as `IpmWarm`) and wmu (nb, SUB, 128) with
     the < 0 cold sentinel. Returns (zx (N+1,10,tail), zu (N,4,tail),
     lu_lo, lu_up (N,4,tail), lx_lo, lx_up (N+1,3,tail), mu (tail),
     eq_res (tail)).

@@ -267,7 +267,7 @@ def linearize_stage_data(
 ):
     """Packed-layout fused linearization.
 
-    Inputs (tail = (nb, 8, 128)): xb (N+1, 10, tail), ub (N, 4, tail),
+    Inputs (tail = (nb, SUB, 128)): xb (N+1, 10, tail), ub (N, 4, tail),
     xr (N+1, 10, tail), ur (N, 4, tail), fd (N+1, 3, tail), x0 (1, 10, tail).
     Returns the SparseQp field tuple + dx0_p, all in packed layout.
     """

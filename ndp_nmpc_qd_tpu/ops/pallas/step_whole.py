@@ -24,8 +24,8 @@ Reference roles replaced: the CasADi/acados codegen linearization +
 HPIPM solve of `nmpc_ctl/nmpc_body_rate_ctl.py:71-112`, now one fused
 device program per control tick.
 
-Parity: `tests/test_step_whole.py` asserts element-level agreement with the
-two-kernel packed-state path in interpret mode.
+Parity: `tests/test_packed_state.py` asserts element-level agreement with
+the two-kernel packed-state path in interpret mode.
 """
 
 from __future__ import annotations
@@ -146,9 +146,9 @@ def control_step_whole(
     tau, sigma, mu_init, s_min, mu_min, num_iters,
     jac_dtype=None, interpret: bool = False,
 ):
-    """One fused control step per 1024-lane block.
+    """One fused control step per SUB*128-lane block.
 
-    All array inputs in packed kernel layout (tail = (nb, 8, 128)):
+    All array inputs in packed kernel layout (tail = (nb, SUB, 128)):
     xb (N+1, 10, tail), ub (N, 4, tail) — the RTI iterates; xr/ur the tick's
     references; fd (N+1, 3, tail) the downwash forecast; x0 (1, 10, tail);
     wl*/wmu the carried duals (cold sentinel wmu < 0).

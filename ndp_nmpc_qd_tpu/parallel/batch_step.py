@@ -10,8 +10,9 @@ attached — one chip degenerates to the unsharded program, a pod measures ICI
 scaling with zero new code (VERDICT r3 item 7).
 
 Layout-aware sharding rule: batch-first leaves (B, ...) shard their leading
-axis; packed kernel-layout leaves (..., nb, 8, 128) — detected by the
-(8, 128) VPU tail — shard the block axis `nb`. Pallas calls do not
+axis; packed kernel-layout leaves (..., nb, SUB, 128) — detected by the
+(SUB, 128) VPU-tile tail (SUB from QD_TPU_SUB; 16 in the shipped config,
+so a 2048-lane block) — shard the block axis `nb`. Pallas calls do not
 auto-partition under plain jit+GSPMD, which is exactly why this uses
 shard_map: each device runs the kernel on its local block.
 """
@@ -35,7 +36,7 @@ def _spec_of(leaf, axis="data"):
     shape = getattr(leaf, "shape", ())
     nd = len(shape)
     if nd >= 3 and shape[-1] == LANE and shape[-2] == SUB:
-        # packed kernel layout (..., nb, 8, 128): shard the block axis
+        # packed kernel layout (..., nb, SUB, 128): shard the block axis
         return P(*([None] * (nd - 3) + [axis, None, None]))
     if nd == 0:
         return P()

@@ -120,7 +120,7 @@ def make_episode(
     offsets (evaluated in the group's own frame), NDP forecast, and
     plant-side wake coupling (block-diagonal, O(S*G^2)) all stay within the
     group. The controller still sees ONE flattened n_drones batch, so the
-    packed Pallas IPM keeps its 1024-lane blocks full. n_groups = 1 (with
+    packed Pallas IPM keeps its SUB*128-lane blocks full. n_groups = 1 (with
     zero anchor) is the plain formation episode — same code path.
 
     `independent` reproduces the four_qd topology
@@ -175,7 +175,7 @@ def make_episode(
             [trajs[i % len(trajs)] for i in range(n_drones)]
         )  # leaves (D, ...)
     # batched controller: Pallas packed path once the drone batch is big
-    # enough to fill its 1024-lane blocks, scan path otherwise
+    # enough to fill its SUB*128-lane blocks, scan path otherwise
     if solver_backend == "auto":
         import jax as _jax
 

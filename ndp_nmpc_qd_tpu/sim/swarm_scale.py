@@ -1,6 +1,6 @@
 """Swarm-scale FORMATION episodes: S independent leader/follower swarms
 (each a `three_qd_ndp_nmpc.launch` instance) with the controller fed ONE
-flattened S*G scenario batch so the packed Pallas IPM keeps its 1024-lane
+flattened S*G scenario batch so the packed Pallas IPM keeps its SUB*128-lane
 blocks full.
 
 Since round 3 this is a thin configuration wrapper: the grouped semantics

@@ -11,7 +11,7 @@ B = 2048). Here the batch rides the LAST axis end to end:
 - Gauss-Newton terms use the closed forms of this cost (diagonal W; the
   only dense block is the 3x4 quaternion-error Jacobian Gq), avoiding the
   14x14 J^T W J matmuls entirely,
-- outputs reshape (no data movement) into the (stage, element, nb, 8, 128)
+- outputs reshape (no data movement) into the (stage, element, nb, SUB, 128)
   layout the Pallas Riccati kernels consume — the pack() transposes vanish.
 
 Semantics identical to `ocp.linearize_horizon` (same residuals, ERK
@@ -37,7 +37,7 @@ from .ocp import BIG
 class PackedQp(NamedTuple):
     """QP data in kernel layout; nb = B_padded // 1024."""
 
-    hxx: jnp.ndarray  # (N+1, 100, nb, 8, 128)
+    hxx: jnp.ndarray  # (N+1, 100, nb, SUB, 128)
     huu: jnp.ndarray  # (N, 16, ...)
     gx: jnp.ndarray  # (N+1, 10, ...)
     gu: jnp.ndarray  # (N, 4, ...)
@@ -51,7 +51,7 @@ class PackedQp(NamedTuple):
 
 
 def _to_blocks(x: jnp.ndarray) -> jnp.ndarray:
-    """(s, d, B) -> (s, d, nb, 8, 128); B must be a BLOCK multiple."""
+    """(s, d, B) -> (s, d, nb, SUB, 128); B must be a BLOCK multiple."""
     s, d, B = x.shape
     return x.reshape(s, d, B // BLOCK, 8, 128)
 

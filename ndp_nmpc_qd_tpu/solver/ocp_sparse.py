@@ -55,7 +55,7 @@ from .ocp_packed import _to_blocks
 
 
 class SparseQp(NamedTuple):
-    """Varying QP data in kernel layout; tail dims (nb, 8, 128).
+    """Varying QP data in kernel layout; tail dims (nb, SUB, 128).
 
     Constant parts (diag6, r_diag, h, stage scaling) live in
     `SparseQpConsts` and are baked into the kernels as compile-time scalars.
@@ -167,7 +167,7 @@ def make_linearizer_pallas(
 
     def linearize_sparse(x_bar, u_bar, xr, ur, f_dist, x0, packed_xu=False):
         """`packed_xu=True`: x_bar/u_bar arrive ALREADY in kernel layout
-        ((s, d, nb, 8, 128), the kernel-layout-resident RtiState mode) and
+        ((s, d, nb, SUB, 128), the kernel-layout-resident RtiState mode) and
         skip their pack transpose; the per-tick inputs xr/ur/f_dist/x0 stay
         batch-first."""
         N = ocp.N_node

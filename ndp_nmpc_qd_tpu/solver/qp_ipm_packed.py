@@ -108,7 +108,7 @@ def ipm_packed(
     nu = p.gu.shape[1]
     dt = p.gx.dtype
     nb = p.gx.shape[2]
-    tail = (nb, 8, 128)
+    tail = (nb, SUB, 128)
 
     sweep = functools.partial(riccati_sweep_packed, interpret=interpret)
 

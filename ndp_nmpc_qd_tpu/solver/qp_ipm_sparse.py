@@ -36,11 +36,11 @@ class IpmWarm(NamedTuple):
     the classic lambda = mu0/s initialization.
     """
 
-    lu_lo: jnp.ndarray  # (N, nu, nb, 8, 128)
+    lu_lo: jnp.ndarray  # (N, nu, nb, SUB, 128)
     lu_up: jnp.ndarray
-    lx_lo: jnp.ndarray  # (N+1, 3, nb, 8, 128)
+    lx_lo: jnp.ndarray  # (N+1, 3, nb, SUB, 128)
     lx_up: jnp.ndarray
-    mu: jnp.ndarray  # (nb, 8, 128); < 0 => cold
+    mu: jnp.ndarray  # (nb, SUB, 128); < 0 => cold
 
 
 def sparse_defect(p: SparseQp, consts: SparseQpConsts, zx, zu):

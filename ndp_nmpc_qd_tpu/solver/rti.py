@@ -61,7 +61,7 @@ class RtiController(NamedTuple):
 
     `layout` is the memory layout of `RtiState.x_bar`/`u_bar`: "batch" =
     batch-first (B, s, d); "kernel" = packed batch-on-lanes
-    ((s, d, nb, 8, 128), `packed_state=True`) — use `unpack_iterates` to
+    ((s, d, nb, SUB, 128), `packed_state=True`) — use `unpack_iterates` to
     read iterates at consumer boundaries.
     """
 
@@ -160,8 +160,8 @@ def make_batched_rti_controller(
     axis B and the QP batch is solved by the structure-sparse fused Pallas
     IPM (`solver/qp_ipm_sparse.py`) — the production TPU path. With
     backend="jax" it falls back to `jax.vmap` over the scan-based solver
-    (used on CPU and for tiny batches where padding to the 1024-lane block
-    would waste the chip); backend="pallas_packed" selects the legacy dense
+    (used on CPU and for tiny batches where padding to the SUB*128-lane
+    block would waste the chip); backend="pallas_packed" selects the legacy dense
     packed kernels (kept for cross-validation).
 
     `warm_start=True` (pallas backend only) carries the QP multipliers and
@@ -192,14 +192,14 @@ def make_batched_rti_controller(
     configuration.
 
     `packed_state=True` (pallas backend) keeps the RTI iterates AND the
-    carried QP multipliers in KERNEL layout ((s, d, nb, 8, 128),
+    carried QP multipliers in KERNEL layout ((s, d, nb, SUB, 128),
     batch-on-lanes) across control ticks: the per-tick pack transposes of
     x_bar/u_bar and the five warm-dual arrays disappear, the RTI axpy runs
     in kernel layout, and with `whole_ipm=True` it is folded INTO the
     kernel (the solve emits the UPDATED iterates directly — zero
     solution-delta round trip through HBM). Only the per-tick INPUTS
     (x0/xr/ur/f_dist) and the tiny outputs (u0, health flags) cross
-    layouts. State is padded to the 1024-lane block internally; `update`
+    layouts. State is padded to the SUB*128-lane block internally; `update`
     recovers B from x0. Consumers that poke `RtiState.x_bar` directly must
     use the layout helpers exported here (`pack_iterates`/
     `unpack_iterates`). This is the production bench configuration

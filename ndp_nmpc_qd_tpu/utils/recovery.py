@@ -38,7 +38,7 @@ def screen_nan(tree, ok: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_ok(ok: jnp.ndarray) -> jnp.ndarray:
-    """(B,) health flags -> packed (nb, 8, 128) lane flags (padding lanes
+    """(B,) health flags -> packed (nb, SUB, 128) lane flags (padding lanes
     healthy), for the kernel-layout-resident RtiState mode."""
     from ..ops.pallas.riccati import BLOCK, pack
 
@@ -50,7 +50,7 @@ def pack_ok(ok: jnp.ndarray) -> jnp.ndarray:
 
 def screen_nan_packed(tree, okp: jnp.ndarray) -> jnp.ndarray:
     """`screen_nan` for kernel-layout leaves: the scenario axes are the
-    TRAILING (nb, 8, 128); okp is packed lane flags from `pack_ok`."""
+    TRAILING (nb, SUB, 128); okp is packed lane flags from `pack_ok`."""
 
     def leaf_ok(x):
         axes = tuple(range(0, x.ndim - 3))
