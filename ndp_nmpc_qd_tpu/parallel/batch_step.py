@@ -69,3 +69,62 @@ def make_sharded_step(step_fn, mesh: Mesh, example_args, axis: str = "data"):
         )
 
     return jf, place
+
+
+def measure_sharded_row(
+    step_fn,
+    args0,
+    *,
+    B: int,
+    single_sps: float,
+    iters: int = 30,
+    mesh: Mesh | None = None,
+    packed_state: bool = False,
+):
+    """Measure the `bench.py --sharded` artifact row on `mesh` (default: all
+    local devices) and return `(row, skip_reason)` — exactly one is None.
+
+    `step_fn(state, *rest) -> (u0, new_state, info)` is the flagship
+    control-step contract (`bench.py:control_step`); `args0 = (state,
+    *rest)` the global (unsharded) example inputs. The row schema is the
+    multi-chip readiness contract (VERDICT r4 item 5): the first real pod
+    run reuses this code path with zero changes — `n_devices`, `B_global`,
+    `solves_per_s`, `solves_per_s_per_device`,
+    `scaling_efficiency_vs_single`, `ok`.
+
+    The shardability guard uses the REAL packed block size BLOCK = SUB*LANE
+    (ADVICE r4: a hardcoded 1024 let non-block-divisible shapes through at
+    SUB=16, crashing mid-bench instead of skipping).
+    """
+    import time as _time
+
+    mesh = data_mesh() if mesh is None else mesh
+    nd = int(mesh.devices.size)
+    shardable = B % nd == 0 and (
+        not packed_state or (B // nd) % (SUB * LANE) == 0
+    )
+    if not shardable:
+        return None, (
+            f"B={B} not block-divisible over {nd} devices "
+            f"(packed block {SUB * LANE})"
+        )
+    sfn, place = make_sharded_step(step_fn, mesh, args0)
+    placed = place(tuple(args0))
+    state, rest = placed[0], placed[1:]
+    u0, state, info = sfn(state, *rest)
+    jax.block_until_ready(u0)
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        u0, state, info = sfn(state, *rest)
+    jax.block_until_ready(u0)
+    mean_s = (_time.perf_counter() - t0) / iters
+    sps = B / mean_s
+    row = {
+        "n_devices": nd,
+        "B_global": B,
+        "solves_per_s": round(sps, 1),
+        "solves_per_s_per_device": round(sps / nd, 1),
+        "scaling_efficiency_vs_single": round(sps / (nd * single_sps), 3),
+        "ok": int(jnp.sum(info.ok)),
+    }
+    return row, None

@@ -16,10 +16,23 @@ so save and restore always agree.
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
 import numpy as np
+
+
+def _sub_lanes() -> int:
+    # packed-kernel-layout leaves (kernel-resident RtiState) have shapes
+    # that depend on the QD_TPU_SUB tile configuration chosen at import
+    from ..ops.pallas.riccati import SUB
+
+    return int(SUB)
+
+
+def _meta_path(path: str) -> str:
+    return path + ".meta.json"
 
 
 def _orbax():
@@ -36,6 +49,12 @@ def _npz_path(path: str) -> str:
 
 
 def save_pytree(path: str, tree) -> None:
+    # sidecar layout metadata (ADVICE r4): a checkpoint saved under
+    # QD_TPU_SUB=16 (the shipped bench/mission config) holds packed-layout
+    # leaves a SUB=8 process cannot legally reinterpret — record the tile
+    # config so restore fails loudly instead of shape-mismatching later
+    with open(_meta_path(path), "w") as f:
+        json.dump({"sub_lanes": _sub_lanes()}, f)
     ocp = _orbax()
     if ocp is not None:
         ckpt = ocp.StandardCheckpointer()
@@ -53,6 +72,21 @@ def restore_pytree(path: str, like):
     wins over a sibling npz; neither existing raises FileNotFoundError.
     """
     apath = os.path.abspath(path)
+    # validate the tile configuration before touching leaf data (sidecar
+    # written by save_pytree; absent for pre-round-5 checkpoints, whose
+    # shape mismatch the leaf check below still catches on the npz path)
+    mpath = _meta_path(path)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            meta = json.load(f)
+        saved_sub = int(meta.get("sub_lanes", -1))
+        if saved_sub != _sub_lanes():
+            raise ValueError(
+                f"checkpoint {path} was saved with QD_TPU_SUB={saved_sub} "
+                f"but this process runs SUB={_sub_lanes()}; packed-layout "
+                "leaves are not interchangeable across tile configs — set "
+                "QD_TPU_SUB before importing ndp_nmpc_qd_tpu to restore"
+            )
     ocp = _orbax()
     if os.path.isdir(apath):
         if ocp is None:
@@ -67,7 +101,15 @@ def restore_pytree(path: str, like):
         raise FileNotFoundError(f"no checkpoint at {path} (dir) or {npz}")
     data = np.load(npz)
     leaves, treedef = jax.tree.flatten(like)
-    new_leaves = [
-        jax.numpy.asarray(data[f"arr_{i}"]) for i in range(len(leaves))
-    ]
+    new_leaves = []
+    for i, tmpl in enumerate(leaves):
+        a = data[f"arr_{i}"]
+        want = tuple(getattr(tmpl, "shape", ()))
+        if tuple(a.shape) != want:
+            raise ValueError(
+                f"checkpoint {npz} leaf {i} has shape {tuple(a.shape)}, "
+                f"template expects {want} (different episode config or "
+                "packed-layout tile size)"
+            )
+        new_leaves.append(jax.numpy.asarray(a))
     return jax.tree.unflatten(treedef, new_leaves)

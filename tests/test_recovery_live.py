@@ -140,6 +140,67 @@ def test_daemon_health_recovery(ns):
     assert res["ticks"] == 120
 
 
+def test_sharded_episode_chaos_recovery():
+    """The respawn analog under shard_map (VERDICT r4 item 4): poison one
+    scenario's solver iterates on one shard of the virtual 8-device
+    (data=2, swarm=4) mesh mid-mission; the sharded episode must finish
+    healthy, the psum'd `recovered` counter (parallel/episode.py metric
+    spec) must report the re-seed on exactly the poisoned scenario, and
+    recovery behavior must equal the unsharded vmap twin."""
+    from ndp_nmpc_qd_tpu.parallel.episode import make_sharded_episode
+    from ndp_nmpc_qd_tpu.parallel.mesh import make_mesh
+
+    cfg = NdpNmpcConfig()
+    traj = _small_traj()
+    S, D = 2, 4
+    kw = dict(hold_ticks=10, qp_iters=8, recover=True, solver_backend="jax")
+
+    def poison(st):
+        # scenario 1, drone 2: one lane of one swarm shard
+        return st._replace(
+            rti=st.rti._replace(
+                x_bar=st.rti.x_bar.at[1, 2].set(jnp.nan)
+            )
+        )
+
+    # unsharded twin: vmap over scenarios
+    init_fn, _, run_fn = make_episode(cfg, traj, n_drones=D, **kw)
+    st_r = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (S,) + a.shape),
+        init_fn(dtype=jnp.float64),
+    )
+    run_ref = jax.jit(jax.vmap(lambda s: run_fn(s, 40)[:2]))
+    st_r, m_r0 = run_ref(st_r)
+    st_r, m_r1 = run_ref(poison(st_r))
+
+    # sharded: same program, same poison, on the virtual mesh
+    mesh = make_mesh(8, swarm_axis=4)
+    init_s, run_s = make_sharded_episode(
+        cfg, traj, mesh, n_drones=D, scenario_batch=S, **kw
+    )
+    st_s, m_s0, _ = run_s(init_s(dtype=jnp.float64), 40)
+    assert bool(np.all(np.asarray(m_s0.ok)))
+    assert np.asarray(m_s0.recovered).tolist() == [0, 0]
+    st_s, m_s1, _ = run_s(poison(st_s), 40)
+
+    # healthy completion; the re-seed registered on the poisoned scenario
+    assert bool(np.all(np.asarray(m_s1.ok))), np.asarray(m_s1.ok)
+    rec = np.asarray(m_s1.recovered)
+    assert rec[1] >= 1 and rec[0] == 0, rec
+    assert bool(np.all(np.isfinite(np.asarray(st_s.plant.x))))
+    # sharded == unsharded recovery behavior
+    np.testing.assert_array_equal(rec, np.asarray(m_r1.recovered))
+    np.testing.assert_array_equal(
+        np.asarray(m_s1.ok), np.asarray(m_r1.ok)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_s1.pos_rmse), np.asarray(m_r1.pos_rmse), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_s.plant.x), np.asarray(st_r.plant.x), atol=1e-9
+    )
+
+
 def test_episode_chaos_recovery_packed_state():
     """Same respawn-analog chaos drill on the kernel-layout-resident
     whole-step solver path (packed recovery: `utils.recovery.pack_ok` /

@@ -105,7 +105,14 @@ def test_rate_executor_timing():
     for _ in range(40):
         r.sleep()
     elapsed = qb.now() - t0
-    assert 0.18 < elapsed < 0.35, elapsed  # 40 x 5 ms with scheduler slop
+    # load-independent claims only (VERDICT r4 item 8): the pacing FLOOR
+    # (40 x 5 ms must have elapsed — the implementation cannot undersleep)
+    # and the tick count. The old < 0.35 ceiling was a box-load assumption:
+    # on the shared 2-CPU box a concurrent Mosaic compile can stretch any
+    # individual sleep, which is exactly what Rate.overruns records (next
+    # test) — not a correctness failure of the executor.
+    assert elapsed > 0.18, elapsed
+    assert elapsed < 5.0, elapsed  # sanity only: hung-clock guard
     assert r.ticks == 40
 
 
@@ -307,7 +314,11 @@ def test_preempt_mid_flight_then_resume(ns):
     t_ctl.join(30)
     t_plant.join(30)
     lat = ctl.goal_to_first_cmd_s
-    assert lat is not None and lat < 0.5, lat  # no per-goal compile stall
+    # the claim is "no per-goal COMPILE stall" — a recompile costs seconds
+    # (AOT-warmed daemons must not pay it per goal). 2.0 s still separates
+    # that failure mode cleanly while tolerating scheduler delay on a
+    # loaded 2-CPU box (VERDICT r4 item 8: no box-load-dependent floors)
+    assert lat is not None and lat < 2.0, lat
 
 
 def test_new_goal_supersedes_active(ns):

@@ -113,3 +113,48 @@ def test_checkpoint_roundtrip(tmp_path):
     out = restore_pytree(path, jax.tree.map(jnp.zeros_like, tree))
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(out)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_sub_mismatch_raises(tmp_path):
+    """ADVICE r4: a checkpoint saved under one QD_TPU_SUB tile config must
+    refuse to restore in a process running another — the packed-layout
+    leaves are not interchangeable. The sidecar records the save-time SUB;
+    a doctored mismatch raises with the remediation in the message."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    tree = {"a": jnp.arange(4.0)}
+    path = os.path.join(tmp_path, "ck")
+    save_pytree(path, tree)
+    # the sidecar recorded the live SUB and a same-process restore works
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    from ndp_nmpc_qd_tpu.ops.pallas.riccati import SUB
+
+    assert meta["sub_lanes"] == SUB
+    restore_pytree(path, jax.tree.map(jnp.zeros_like, tree))
+    # simulate a save from the shipped SUB=16 process read back at SUB=8
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"sub_lanes": SUB * 2}, f)
+    with pytest.raises(ValueError, match="QD_TPU_SUB"):
+        restore_pytree(path, jax.tree.map(jnp.zeros_like, tree))
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    """npz restore validates leaf shapes against the template instead of
+    silently loading a different episode config's arrays."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    tree = {"a": jnp.arange(4.0)}
+    path = os.path.join(tmp_path, "ck")
+    save_pytree(path, tree)
+    with pytest.raises(ValueError, match="shape"):
+        restore_pytree(path, {"a": jnp.zeros((2, 2))})
