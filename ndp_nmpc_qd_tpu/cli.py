@@ -79,15 +79,15 @@ def run_mission(args) -> dict:
 
     # ONE config story (VERDICT r3 item 5): missions that resolve to the
     # PALLAS backend deploy the SAME configuration the bench reports —
-    # whole-IPM kernel, dual warm start @ 4 iterations, bf16
+    # whole-IPM kernel, dual warm start @ 3 iterations, bf16
     # split-precision payload (validated: 5.9e-5 full-mission max control
     # deviation vs the scan backend, far-regime envelope to 100 m at
     # warm@3-5 — tools/validate_backends.py / tools/qp_envelope.py, see
     # bench.py docstring). The defaults key on the RESOLVED backend, not
     # the device (ADVICE r4 high): small topologies (n_drones < 512) run
     # the scan backend even on a TPU machine, and that backend has no
-    # dual warm start — warm@4 there would silently run a COLD
-    # 4-iteration IPM. Scan missions keep the validated cold-start
+    # dual warm start — the warm default there would silently run a COLD
+    # few-iteration IPM. Scan missions keep the validated cold-start
     # qp_iters=12 regardless of device.
     on_accel = jax.default_backend() not in ("cpu",)
     n_total = int(topology.get("n_drones", 1))
@@ -96,7 +96,11 @@ def run_mission(args) -> dict:
     # mirror make_episode's backend="auto" rule (sim/closed_loop.py:179-184)
     use_pallas = on_accel and n_total >= 512
     if args.qp_iters is None:
-        args.qp_iters = 4 if use_pallas else 12
+        # warm@3: adopted round 5 with full validation under the deployed
+        # config — mission deviation at the bf16 floor (5.85-5.86e-5, same
+        # as @4), envelope 100/100 to 100 m warm AND cold at 3 iterations
+        # (see bench.py's margin policy block)
+        args.qp_iters = 3 if use_pallas else 12
     if args.warm is None:
         args.warm = use_pallas
     if args.whole_ipm is None:
@@ -247,10 +251,13 @@ def run_node(args) -> dict:
     """Runtime daemons over the shared-memory bus (the rosrun analog).
 
     Daemons pin to CPU by default: the interactive path does ONE blocking
-    dispatch per 20 ms tick, and measured r2 numbers are CPU p50 6.0 ms /
-    p99 11.5 ms (inside budget) vs ~25 ms per blocking TPU round-trip
+    dispatch per 20 ms tick, and measured CPU ticks are p50 ~4 ms /
+    p99 ~9 ms (inside budget) vs ~25 ms per blocking TPU round-trip
     through the axon tunnel (BENCH_DETAILS.json). `--device tpu` opts into
-    the accelerator for locally-attached chips.
+    the accelerator for locally-attached chips — there the daemon
+    auto-selects the DEPLOYED whole-step kernel (runtime/nodes.py
+    `solver="packed"`: 0.196 ms device per B=1 tick, 8x the scan program)
+    plus dispatch-ahead pipelining.
     """
     import jax
 
@@ -307,7 +314,7 @@ def main(argv=None):
     mission.add_argument("--cpu", action="store_true", help="force CPU backend")
     mission.add_argument("--f64", action="store_true")
     # deployment defaults are backend-resolved in run_mission (ONE config
-    # story with bench.py on pallas-backend missions: whole-IPM + warm@4 +
+    # story with bench.py on pallas-backend missions: whole-IPM + warm@3 +
     # bf16; cold scan defaults (qp_iters=12) whenever the scan backend is
     # selected — small topologies OR CPU). Flags override either way.
     mission.add_argument(
@@ -346,7 +353,7 @@ def main(argv=None):
     )
     mission.add_argument(
         "--qp-iters", type=int, default=None,
-        help="IPM iterations (pallas-backend default 4 w/ warm start; "
+        help="IPM iterations (pallas-backend default 3 w/ warm start; "
         "scan-backend default 12, cold)",
     )
     mission.add_argument(

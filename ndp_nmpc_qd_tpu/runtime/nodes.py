@@ -107,6 +107,7 @@ class ControllerDaemon:
         companion_ns: str | None = None,
         downwash_params=None,
         pipeline: bool | None = None,
+        solver: str | None = None,
     ):
         """`leader_ns` makes this a follower of that namespace's horizon.
         `use_ndp` + `companion_ns` makes this an NDP leader forecasting the
@@ -151,7 +152,76 @@ class ControllerDaemon:
         )
         ocp, veh = self.cfg.ocp, self.cfg.vehicle
 
-        self.ctl = make_rti_controller(ocp, veh, with_disturbance=True)
+        # solver backend for the daemon's single-drone program. On
+        # accelerator devices the DEPLOYED whole-step kernel (one
+        # SUB*128-lane block, mostly padding at B=1) beats the scan program
+        # by ~8x device time — measured r5: 0.196 ms vs 1.62 ms per B=1
+        # tick, 0.815 ms vs 11.1 ms at B=64 (tools/profile_trace.py
+        # `interactive_device_only`) — so `solver=None` auto-selects
+        # "packed" there and "scan" on CPU (where Pallas has no compiled
+        # path and the scan program already meets the deadline, p99 < 9 ms).
+        if solver is None:
+            solver = (
+                "packed" if jax.default_backend() not in ("cpu",) else "scan"
+            )
+        self.solver = solver
+        if solver == "packed":
+            from ..solver.rti import (
+                make_batched_rti_controller,
+                unpack_iterates,
+            )
+
+            bctl = make_batched_rti_controller(
+                ocp, veh, with_disturbance=True, qp_iters=3,
+                warm_start=True, jac_bf16=True, lqr_start=False,
+                whole_ipm=True, packed_state=True, whole_step=True,
+            )
+            f32 = jnp.float32
+
+            class _UnbatchedPacked:
+                """The unbatched make_rti_controller contract over the
+                packed whole-step controller (B=1 padded to one block)."""
+
+                @staticmethod
+                def reset(xr, ur):
+                    return bctl.reset(
+                        jnp.asarray(xr, f32)[None], jnp.asarray(ur, f32)[None]
+                    )
+
+                @staticmethod
+                def update(st, x, xr, ur, f):
+                    u0, st, info = bctl.update(
+                        st,
+                        jnp.asarray(x, f32)[None],
+                        jnp.asarray(xr, f32)[None],
+                        jnp.asarray(ur, f32)[None],
+                        jnp.asarray(f, f32)[None],
+                    )
+                    return u0[0], st, jax.tree.map(lambda a: a[0], info)
+
+                @staticmethod
+                def iterates(st):
+                    # on CPU the batched controller's backend="auto" falls
+                    # back to the scan path with batch-first layout
+                    if getattr(bctl, "layout", "batch") == "kernel":
+                        xb, ub = unpack_iterates(st, 1)
+                    else:
+                        xb, ub = st.x_bar, st.u_bar
+                    return xb[0], ub[0]
+
+            self.ctl = _UnbatchedPacked()
+        else:
+            scan_ctl = make_rti_controller(ocp, veh, with_disturbance=True)
+
+            class _Scan:
+                reset = staticmethod(scan_ctl.reset)
+                update = staticmethod(scan_ctl.update)
+
+                @staticmethod
+                def iterates(st):
+                    return st.x_bar, st.u_bar
+
+            self.ctl = _Scan()
         self._update = jax.jit(self.ctl.update)
         self._gen_fix = jax.jit(lambda x: gen_fix_pt_ref(x, ocp, veh))
         # ONE reference function for every trajectory: goals are padded to
@@ -486,13 +556,14 @@ class ControllerDaemon:
                 if tick % 3 == 0:
                     viz = np.zeros((), qb.PRED_XU)
                     viz["t"] = qb.now()
-                    xb = np.asarray(state.x_bar)
+                    xb_d, ub_d = self.ctl.iterates(state)
+                    xb = np.asarray(xb_d)
                     qn = np.linalg.norm(xb[:, 6:10], axis=-1, keepdims=True)
                     xb = np.concatenate(
                         [xb[:, 0:6], xb[:, 6:10] / np.maximum(qn, 1e-9)], axis=-1
                     )
                     viz["x"] = xb
-                    viz["u"] = np.asarray(state.u_bar)
+                    viz["u"] = np.asarray(ub_d)
                     self.t.viz_pred.publish(viz)
 
                     # pose broadcast: the tf2 TransformBroadcaster role

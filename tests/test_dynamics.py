@@ -9,6 +9,10 @@ from ndp_nmpc_qd_tpu.models.quadrotor import body_rate_dynamics, hover_input, ho
 from ndp_nmpc_qd_tpu.ops.integrators import linearize, make_discrete_dynamics, rk4_step
 from ndp_nmpc_qd_tpu.ops import quat
 from ndp_nmpc_qd_tpu.params import VehicleParams
+import pytest
+
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
 
 VEH = VehicleParams()
 

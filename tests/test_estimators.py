@@ -18,6 +18,10 @@ from ndp_nmpc_qd_tpu.estimators.hover_throttle import (
     throttle_from_collective,
 )
 from ndp_nmpc_qd_tpu.params import EstimatorParams
+import pytest
+
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
 
 EP = EstimatorParams()
 

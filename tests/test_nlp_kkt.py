@@ -29,6 +29,9 @@ from ndp_nmpc_qd_tpu.params import NdpNmpcConfig
 from ndp_nmpc_qd_tpu.solver.ocp import stage_output, terminal_output
 from ndp_nmpc_qd_tpu.solver.rti import make_rti_controller
 
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
+
 CFG = NdpNmpcConfig()
 OCP, VEH = CFG.ocp, CFG.vehicle
 

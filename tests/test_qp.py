@@ -12,6 +12,9 @@ from ndp_nmpc_qd_tpu.solver.qp_ipm import solve_qp
 
 from helpers_dense_qp import solve_dense
 
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
+
 OCP = OcpParams()
 VEH = VehicleParams()
 

@@ -7,6 +7,9 @@ from scipy.spatial.transform import Rotation
 
 from ndp_nmpc_qd_tpu.ops import quat
 
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
+
 
 def random_unit_quats(rng, n):
     q = rng.standard_normal((n, 4))

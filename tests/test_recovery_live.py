@@ -51,6 +51,7 @@ def _poison(st, drone):
     )
 
 
+@pytest.mark.smoke
 def test_episode_chaos_recovery():
     """Poison one drone's solver iterates mid-mission; with recover=True the
     episode finishes healthy with bounded RMSE and reports the re-seeds."""
@@ -79,6 +80,7 @@ def test_episode_chaos_recovery():
     )
 
 
+@pytest.mark.smoke
 def test_episode_chaos_without_recover_stays_dead():
     """Control experiment: the same poison with recover=False leaves the
     scenario unhealthy (the pre-round-4 behavior VERDICT r3 flagged)."""
@@ -97,6 +99,7 @@ def test_episode_chaos_without_recover_stays_dead():
     assert int(m.recovered) == 0
 
 
+@pytest.mark.smoke
 def test_daemon_health_recovery(ns):
     """NaN odometry mid-run: the daemon publishes the hold command (never a
     non-finite one), re-seeds, and resumes healthy when odometry recovers."""
@@ -140,6 +143,7 @@ def test_daemon_health_recovery(ns):
     assert res["ticks"] == 120
 
 
+@pytest.mark.smoke
 def test_sharded_episode_chaos_recovery():
     """The respawn analog under shard_map (VERDICT r4 item 4): poison one
     scenario's solver iterates on one shard of the virtual 8-device

@@ -1,10 +1,15 @@
 """Roofline accounting sanity (utils/roofline.py)."""
 
+import pytest
+
 from ndp_nmpc_qd_tpu.utils.roofline import (
     ipm_bytes,
     roofline_report,
     step_cost,
 )
+
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
 
 
 def test_whole_kernel_cuts_ipm_traffic():

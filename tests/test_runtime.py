@@ -11,6 +11,9 @@ import pytest
 
 from ndp_nmpc_qd_tpu.runtime import bus as qb
 
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture
 def ns():
@@ -404,3 +407,30 @@ def test_follower_formation_feedback(ns):
     # transient but the instantaneous error must have shrunk
     assert float(fm["err2"]) < 0.5, fm
     qb.Topic.unlink(f"{leader_ns}/ref_x_u")
+
+
+def test_daemon_packed_solver_cpu_fallback(ns):
+    """`solver="packed"` (the accelerator daemon default) must construct and
+    run on CPU too: the batched controller's backend="auto" falls back to
+    the scan layout there, and the viz `iterates` helper must follow the
+    actual layout rather than assume kernel-packed (r5 daemon wiring)."""
+    import jax
+
+    from ndp_nmpc_qd_tpu.runtime.nodes import ControllerDaemon
+
+    m = np.zeros((), qb.ODOMETRY)
+    m["t"] = qb.now()
+    m["pos"] = [0.0, 0.0, 1.0]
+    m["quat"] = [1.0, 0, 0, 0]
+    qb.Topic(f"{ns}/odom", qb.ODOMETRY).publish(m)
+
+    ctl = ControllerDaemon(ns, solver="packed")
+    assert ctl.solver == "packed"
+    res = ctl.run(max_ticks=13)
+    assert res["ticks"] == 13
+    # commands stayed finite and the viz path (iterates helper) published
+    _, att = ctl.t.att.read_latest()
+    assert np.isfinite(att["body_rate"]).all() and np.isfinite(att["thrust"])
+    vseq, viz = ctl.t.viz_pred.read_latest()
+    assert vseq > 0
+    assert np.isfinite(viz["x"]).all()

@@ -5,6 +5,10 @@ import numpy as np
 
 from ndp_nmpc_qd_tpu.traj.polyopt import eval_traj
 from ndp_nmpc_qd_tpu.traj.scenarios import list_scenarios, load_scenario
+import pytest
+
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
 
 
 def test_list_scenarios():

@@ -41,20 +41,24 @@ xr = jnp.tile(
 ur = jnp.tile(hover_input(cfg.vehicle, (B,))[:, None, :], (1, N, 1))
 f = 0.2 * jax.random.normal(jax.random.PRNGKey(5), (B, N + 1, 3), jnp.float32)
 
-kw = dict(qp_iters=3, lqr_start=False)
+# the same comparison tests/test_packed_state.py makes at SUB=8: the
+# ONE-launch whole-step kernel vs the two-kernel packed path — at the
+# SHIPPED tile size both sides run 2048-lane blocks in interpret mode
+kw = dict(
+    qp_iters=4, lqr_start=False, backend="pallas", interpret=True,
+    warm_start=True, whole_ipm=True, packed_state=True,
+)
 ctl_ref = make_batched_rti_controller(
-    cfg.ocp, cfg.vehicle, with_disturbance=True, backend="jax", **kw
+    cfg.ocp, cfg.vehicle, with_disturbance=True, whole_step=False, **kw
 )
 ctl_k = make_batched_rti_controller(
-    cfg.ocp, cfg.vehicle, with_disturbance=True, backend="pallas",
-    interpret=True, warm_start=True, whole_ipm=True, packed_state=True,
-    whole_step=True, **kw
+    cfg.ocp, cfg.vehicle, with_disturbance=True, whole_step=True, **kw
 )
 u_r, st_r, info_r = ctl_ref.update(ctl_ref.reset(xr, ur), x0, xr, ur, f)
 u_k, st_k, info_k = ctl_k.update(ctl_k.reset(xr, ur), x0, xr, ur, f)
 np.testing.assert_allclose(
-    np.asarray(u_r), np.asarray(u_k), atol=2e-4,
-    err_msg="SUB=16 whole-step vs scan backend",
+    np.asarray(u_r), np.asarray(u_k), atol=1e-5,
+    err_msg="SUB=16 whole-step vs two-kernel packed path",
 )
 assert np.array_equal(np.asarray(info_r.ok), np.asarray(info_k.ok))
 print("SUB16 PARITY OK")

@@ -17,6 +17,10 @@ from ndp_nmpc_qd_tpu.traj.polyopt import (
     fit_waypoints,
 )
 from ndp_nmpc_qd_tpu.traj.refgen import gen_fix_pt_ref, nmpc_refs
+import pytest
+
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
 
 VEH = VehicleParams()
 OCP = OcpParams()

@@ -11,6 +11,9 @@ from ndp_nmpc_qd_tpu.utils.checkpoint import restore_pytree, save_pytree
 from ndp_nmpc_qd_tpu.utils.metrics import HealthCounter, LatencyRecorder
 from ndp_nmpc_qd_tpu.utils.recovery import recover_rti, screen_nan
 
+# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
+pytestmark = pytest.mark.smoke
+
 
 def test_screen_nan():
     ok = jnp.asarray([True, True, True])

@@ -132,6 +132,7 @@ def test_warm_eq_res_identity_matches_true_defect():
     )
 
 
+@pytest.mark.smoke
 def test_recover_rti_preserves_warm_structure():
     from ndp_nmpc_qd_tpu.utils.recovery import recover_rti
 
