@@ -24,6 +24,11 @@ import time
 # latency — measured 5.9 -> 5.5 ms at B=32768. Must be set before the
 # package import (ops/pallas/riccati.py reads it at import time). Tests
 # keep the default SUB=8 (interpret cost scales with the block).
+# SUB=32 (4096-lane blocks): measured OFF, 2026-08-21 — it compiles and
+# runs within the 128 MB VMEM limit, but the queued step is ~6% SLOWER
+# than SUB=16 (5.1 vs 4.8 ms at B=32768, warm@3): past two native tiles
+# per op the extra issue width stops hiding latency and the doubled
+# working set starts costing VMEM locality.
 os.environ.setdefault("QD_TPU_SUB", "16")
 
 import jax

@@ -109,7 +109,6 @@ def test_mehrotra_matches_plain_nominal():
     np.testing.assert_allclose(np.asarray(um), np.asarray(up), atol=1e-3)
 
 
-@pytest.mark.smoke
 def test_sparse_backend_envelope_interpret():
     """The packed Pallas IPM (interpret mode) applies the same per-lane
     feasible fallback: far scenarios healthy, near scenarios bit-comparable

@@ -49,6 +49,9 @@ def iterates():
 
 
 @pytest.mark.parametrize("with_dist", [True, False])
+# smoke tier's interpret-parity representative (VERDICT r4 item 7):
+# the Pallas linearization kernel vs the jnp path, ~15 s/case
+@pytest.mark.smoke
 def test_kernel_matches_jnp_path(iterates, with_dist):
     cfg, xb, ub, xr, ur, f, x0 = iterates
     fd = f if with_dist else None

@@ -143,7 +143,6 @@ def test_daemon_health_recovery(ns):
     assert res["ticks"] == 120
 
 
-@pytest.mark.smoke
 def test_sharded_episode_chaos_recovery():
     """The respawn analog under shard_map (VERDICT r4 item 4): poison one
     scenario's solver iterates on one shard of the virtual 8-device

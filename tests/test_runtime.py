@@ -11,8 +11,8 @@ import pytest
 
 from ndp_nmpc_qd_tpu.runtime import bus as qb
 
-# fast tier (VERDICT r4 item 7): this whole file is in the <5 min smoke set
-pytestmark = pytest.mark.smoke
+# fast tier (VERDICT r4 item 7): the protocol core carries @pytest.mark.smoke
+# per function; the four >20 s daemon-topology tests stay full-suite-only
 
 
 @pytest.fixture
@@ -24,6 +24,7 @@ def ns():
     NodeTopics.unlink(name)
 
 
+@pytest.mark.smoke
 def test_pub_sub_roundtrip(ns):
     t = qb.Topic(f"{ns}/odom", qb.ODOMETRY)
     seq, _ = t.read_latest()
@@ -47,6 +48,7 @@ def test_pub_sub_roundtrip(ns):
     qb.Topic.unlink(f"{ns}/odom")
 
 
+@pytest.mark.smoke
 def test_latest_value_semantics(ns):
     t = qb.Topic(f"{ns}/x", qb.POINT)
     for k in range(20):
@@ -60,6 +62,7 @@ def test_latest_value_semantics(ns):
     qb.Topic.unlink(f"{ns}/x")
 
 
+@pytest.mark.smoke
 def test_seqlock_no_torn_reads(ns):
     """Hammer a topic from a writer thread; every read must be a consistent
     snapshot (all lanes equal), never a torn mix of two messages."""
@@ -102,6 +105,7 @@ def test_seqlock_no_torn_reads(ns):
     qb.Topic.unlink(f"{ns}/big")
 
 
+@pytest.mark.smoke
 def test_rate_executor_timing():
     r = qb.Rate(0.005)
     t0 = qb.now()
@@ -119,6 +123,7 @@ def test_rate_executor_timing():
     assert r.ticks == 40
 
 
+@pytest.mark.smoke
 def test_rate_overrun_detection():
     r = qb.Rate(0.002)
     r.sleep()
@@ -128,6 +133,7 @@ def test_rate_overrun_detection():
     assert r.overruns >= 1
 
 
+@pytest.mark.smoke
 def test_traj_msg_roundtrip():
     from ndp_nmpc_qd_tpu.traj.polyopt import fit_waypoints
 
@@ -178,6 +184,7 @@ def test_ndp_leader_over_bus(ns):
     qb.Topic.unlink(f"{comp_ns}/ref_x_u")
 
 
+@pytest.mark.smoke
 def test_live_mission_plant_and_controller(ns):
     """Full runtime slice: plant daemon + controller daemon in threads,
     cmd_pc client sends a trajectory, result reports a small RMSE."""
@@ -270,6 +277,7 @@ def test_live_mission_pipelined_controller(ns):
     assert float(res["pos_rmse"]) < 0.3, float(res["pos_rmse"])
 
 
+@pytest.mark.smoke
 def test_preempt_mid_flight_then_resume(ns):
     """TrackTraj preemption (`nmpc_node.py:165-168`): cancel a goal
     mid-flight -> status=2 result with partial RMSE; the daemon returns to
@@ -409,6 +417,7 @@ def test_follower_formation_feedback(ns):
     qb.Topic.unlink(f"{leader_ns}/ref_x_u")
 
 
+@pytest.mark.smoke
 def test_daemon_packed_solver_cpu_fallback(ns):
     """`solver="packed"` (the accelerator daemon default) must construct and
     run on CPU too: the batched controller's backend="auto" falls back to

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ndp_nmpc_qd_tpu.solver.rti import RtiState
 from ndp_nmpc_qd_tpu.utils.checkpoint import restore_pytree, save_pytree

@@ -15,6 +15,7 @@ deviation 2.70e-5 at warm-iters=6, identical to the cold path at 12).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ndp_nmpc_qd_tpu.models.quadrotor import hover_input, hover_state
 from ndp_nmpc_qd_tpu.ops.pallas.riccati import BLOCK
