@@ -20,7 +20,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.riccati import BLOCK, pack, riccati_sweep_packed, unpack
+from ..ops.pallas.riccati import (
+    BLOCK,
+    SUB,
+    pack,
+    riccati_sweep_packed,
+    unpack,
+)
 from .ocp import QpData
 from .ocp_packed import PackedQp
 from .qp_ipm import QpSolution, ipm_corr_terms, ipm_max_step, ipm_slack_init
