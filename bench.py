@@ -122,17 +122,17 @@ def main():
     )
 
     # operating point: best measured throughput with the device step well
-    # inside the reference's 20 ms control deadline. Sweep at the current
-    # config (whole-IPM kernel, bf16 payload, warm@4 — tools/bench_points.py,
-    # 2026-08-20): B=4096 -> 1.9 ms/2.14M solves/s, B=8192 -> 2.4 ms/3.48M,
-    # B=16384 -> 3.4 ms/4.84M, B=32768 -> 6.4 ms/5.16M (optimum, 3x inside
-    # the deadline), B=65536 -> 13.0 ms/5.03M. The per-iteration kernel
-    # path's old B=32768 regression (16.6 ms/1.97M vs 7.8 ms/2.10M at
-    # B=16384, r2 artifact) does NOT reproduce with the whole-solve kernel:
-    # it tracked that path's 6x per-iteration payload re-streaming from HBM,
-    # which the persistent-VMEM kernel removes — scaling is now monotone
-    # through B=32768 with a mild tail-off at 65536.
-    B = int(os.environ.get("BENCH_BATCH", "32768"))
+    # inside the reference's 20 ms control deadline. Sweep at the DEPLOYED
+    # round-5 config (whole-step kernel, warm@3, bf16, SUB=16 —
+    # tools/bench_points.py + multi-tick bench runs, 2026-08-21):
+    # B=4096 -> 1.35 ms/3.04M solves/s, 8192 -> 2.07/3.96M,
+    # 16384 -> 3.01/5.44M, 32768 -> 4.45 ms (multi-tick)/7.37M,
+    # 65536 -> 8.42 ms/7.79M (OPTIMUM, 2.4x inside the deadline),
+    # 131072 -> 17.4 ms/7.52M (tail-off, and only 1.15x inside the
+    # deadline — rejected). warm@3 moved the optimum up one size class
+    # from round 4's B=32768: the shorter IPM loop leaves more of the
+    # per-block time in kernel ramp-up, which the bigger batch amortizes.
+    B = int(os.environ.get("BENCH_BATCH", "65536"))
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     pos = jax.random.uniform(k1, (B, 3), jnp.float32, -1.0, 1.0)

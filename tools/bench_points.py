@@ -6,6 +6,10 @@ printing a JSON line per point. One process = one tunnel window; compiles
 cache in .jax_cache.
 
     python tools/bench_points.py [B ...]   (default 4096 8192 16384 32768 65536)
+
+Config mirrors bench.py's deployed defaults (whole-step kernel, packed
+state, warm@3, bf16 payload + bf16 MLP, QD_TPU_SUB=16); override with the
+same BENCH_* env knobs.
 """
 
 import json
@@ -14,6 +18,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("QD_TPU_SUB", "16")
 
 import jax
 
@@ -34,12 +40,16 @@ from ndp_nmpc_qd_tpu.solver.rti import make_batched_rti_controller
 def main():
     Bs = [int(b) for b in sys.argv[1:]] or [4096, 8192, 16384, 32768, 65536]
     cfg = NdpNmpcConfig()
-    qp_iters = int(os.environ.get("BENCH_QP_ITERS", "6"))
+    qp_iters = int(os.environ.get("BENCH_QP_ITERS", "3"))
     whole = os.environ.get("BENCH_WHOLE_IPM", "1") == "1"
-    jac_bf16 = os.environ.get("BENCH_JAC_BF16", "0") == "1"
+    jac_bf16 = os.environ.get("BENCH_JAC_BF16", "1") == "1"
+    packed = os.environ.get("BENCH_PACKED_STATE", "1") == "1"
+    whole_step = os.environ.get("BENCH_WHOLE_STEP", "1") == "1" and packed
+    mlp_bf16 = os.environ.get("BENCH_MLP_BF16", "1") == "1"
     ctl = make_batched_rti_controller(
         cfg.ocp, cfg.vehicle, with_disturbance=True, qp_iters=qp_iters,
         warm_start=True, jac_bf16=jac_bf16, lqr_start=False, whole_ipm=whole,
+        packed_state=packed, whole_step=whole_step,
     )
     N = cfg.ocp.N_node
     params = load_npz(
@@ -53,6 +63,7 @@ def main():
         f = predict_downwash(
             params, other, xr, r_horiz=cfg.downwash.r_horiz,
             ego_gate_pos=x0[..., 0:3],
+            compute_dtype=jnp.bfloat16 if mlp_bf16 else None,
         )
         return ctl.update(rti, x0, xr, ur, f)
 
