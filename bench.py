@@ -151,7 +151,13 @@ def main():
         return ctl.update(rti, x0, xr, ur, f)
 
     rti = ctl.reset(xr, ur)
-    step = jax.jit(control_step)
+    # donate the carry on the packed-kernel path: the whole-step kernel
+    # aliases its state inputs to its outputs (in-place update); without
+    # donation the queued-dispatch path would pay a defensive copy of the
+    # ~150 MB RtiState every step. Non-kernel layouts must not donate —
+    # their reset() state shares the xr/ur argument buffers.
+    donate = (0,) if getattr(ctl, "layout", "batch") == "kernel" else ()
+    step = jax.jit(control_step, donate_argnums=donate)
 
     t0 = time.perf_counter()
     u0, rti, info = step(rti, x0, xr, ur, other)
@@ -201,19 +207,29 @@ def main():
     if os.environ.get("BENCH_MULTITICK", "1") == "1":
         from jax import lax
 
-        # K sweep at B=65536/warm@3 (2026-08-21): K=16 -> 8.32 ms/step,
-        # K=32 -> 8.09, K=64 -> 8.02 (asymptote ~8.0 = the pure device
-        # step). K=32 is the default: within 1% of the asymptote with a
-        # ~0.26 s dispatch window; deployment's episode path scans the
-        # whole mission anyway.
-        K = int(os.environ.get("BENCH_MULTITICK_K", "32"))
+        # K sweep at B=65536/warm@3 with the in-place-aliased kernel state
+        # (2026-08-21): K=32 -> 7.43 ms/step, K=64 -> 7.35 (twice),
+        # K=128 -> 7.31 (asymptote ~7.3 = the pure device step; the
+        # remaining wall-vs-op-sum gap is inter-op scheduling bubbles the
+        # op trace doesn't attribute). K=64 is the default: within 0.5% of
+        # the asymptote with a ~0.47 s dispatch window; deployment's
+        # episode path scans the whole mission anyway.
+        K = int(os.environ.get("BENCH_MULTITICK_K", "64"))
+
+        # The per-tick drift is a broadcast-add of a one-hot z column, NOT
+        # an .at[].add scatter: scattering into the loop-invariant tensors
+        # lowers to copy(55 MB) + scatter-add every tick (~0.29 ms/tick of
+        # pure harness artifact at B=65536, profiler-measured), while the
+        # broadcast-add fuses into the MLP input computation.
+        ez_x = jnp.zeros((1, 10), x0.dtype).at[0, 2].set(1.0)
+        ez_o = jnp.zeros((1, 1, 10), x0.dtype).at[0, 0, 2].set(1.0)
 
         def k_ticks(rti, x0, xr, ur, other):
             def body(carry, k):
                 rti = carry
                 kf = k.astype(x0.dtype)
-                x0k = x0.at[:, 2].add(0.002 * kf)
-                otherk = other.at[:, :, 2].add(0.001 * kf)
+                x0k = x0 + (0.002 * kf) * ez_x
+                otherk = other + (0.001 * kf) * ez_o
                 u0, rti, info = control_step(rti, x0k, xr, ur, otherk)
                 return rti, info.ok
             rti, oks = lax.scan(
@@ -221,7 +237,7 @@ def main():
             )
             return rti, oks
 
-        mt = jax.jit(k_ticks)
+        mt = jax.jit(k_ticks, donate_argnums=donate)
         t0 = time.perf_counter()
         rti_m, oks_m = mt(rti, x0, xr, ur, other)
         jax.block_until_ready(oks_m)
@@ -343,7 +359,12 @@ def main():
             item 2: the device-only rows used to measure the scan backend
             without saying so)."""
             st_i = ctl_i.reset(xr_i, ur_i)
-            step_i = jax.jit(ctl_i.update)
+            don_i = (
+                (0,)
+                if getattr(ctl_i, "layout", "batch") == "kernel"
+                else ()
+            )  # scan-backend reset() shares xr/ur buffers: no donate
+            step_i = jax.jit(ctl_i.update, donate_argnums=don_i)
             for _ in range(10):
                 u_i, st_i, _ = step_i(st_i, x0_i, xr_i, ur_i, f_i)
             jax.block_until_ready(u_i)
@@ -456,7 +477,12 @@ def main():
                     ur_c = jax.device_put(ur[0], cpu)
                     f_c = jax.device_put(jnp.zeros((N + 1, 3)), cpu)
                     st_c = ctl_c.reset(xr_c, ur_c)
-                    step_c = jax.jit(ctl_c.update)
+                    don_c = (
+                        (0,)
+                        if getattr(ctl_c, "layout", "batch") == "kernel"
+                        else ()
+                    )
+                    step_c = jax.jit(ctl_c.update, donate_argnums=don_c)
                     # 50 warmup ticks: the first dispatches after compile pay
                     # one-off allocator/runtime warm costs that a long-running
                     # daemon never sees again

@@ -52,11 +52,18 @@ def mlp_forward(
     """x (..., 6) -> force (..., 3). ReLU between layers, linear head.
 
     `compute_dtype=bfloat16` runs the matmuls AND hidden activations in
-    bf16 (MXU accumulates f32 internally; the head layer emits f32). The
-    profiler shows this path is activation-bandwidth-bound, not
-    multiply-bound (B*21 x 128 hidden tensors dominate), so the bf16
-    activations are what actually halve its cost. Forecast error ~0.3% of
-    the 0-3 N force scale — see tests/test_downwash.py bf16 bound."""
+    bf16 (MXU accumulates f32 internally; the head layer emits f32).
+    Forecast error ~0.3% of the 0-3 N force scale — see
+    tests/test_downwash.py bf16 bound.
+
+    Cost model (profiled at B=65536, r5): the four dots measure ~0.99
+    ms/tick, within ~8% of their PADDED-MXU floor (~0.92 ms): every layer
+    occupies exactly one 128x128 K-tile x N-tile per row block because the
+    net's dims (6 in, 64 mid, 3 out) pad to 128 — so each layer costs
+    M*128*128 MACs regardless of packing (block-diagonal stacking
+    multiplies the same zeros; dense-MXU cost is padded KxN, always).
+    There is no kernel that beats this without changing the architecture;
+    further fusion would only shave the ~8% scheduling overhead."""
     acc = x.dtype
     h = x if compute_dtype is None else x.astype(compute_dtype)
     n = len(params.weights)

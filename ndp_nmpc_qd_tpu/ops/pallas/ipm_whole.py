@@ -493,6 +493,18 @@ def riccati_ipm_whole(
             sd(Np1, NX), sd(N, NU), sd(N, NU), sd(N, NU),
             sd(Np1, 3), sd(Np1, 3), sd(1, 1), sd(1, 1),
         ),
+        # Dual state (and, with fold_xu, the RTI iterates) updates in place:
+        # block windows match pairwise and each grid step stages its input
+        # block to VMEM before writing the output block, so same-index
+        # aliasing is hazard-free. Under lax.scan this keeps the carried
+        # solver state in one buffer set instead of copying every kernel
+        # output into the loop carry (see step_whole.py for the measured
+        # effect on the fused path).
+        input_output_aliases=(
+            {17: 0, 18: 1, 11: 2, 12: 3, 13: 4, 14: 5, 15: 6}
+            if fold_xu
+            else {11: 2, 12: 3, 13: 4, 14: 5, 15: 6}
+        ),
         scratch_shapes=[
             pltpu.VMEM((NX * NX, SUB, LANE), dt),  # P
             pltpu.VMEM((NX, SUB, LANE), dt),  # p

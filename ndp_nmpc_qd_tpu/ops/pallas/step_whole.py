@@ -211,6 +211,23 @@ def control_step_whole(
             sd(Np1, NX), sd(N, NU), sd(N, NU), sd(N, NU),
             sd(Np1, 3), sd(Np1, 3), sd(1, 1), sd(1, 1),
         ),
+        # The RTI state tensors (iterates + carried duals) update IN PLACE:
+        # each input's block window matches its output's exactly, and a grid
+        # step stages its input block into VMEM before the output block is
+        # written back, so same-index aliasing is hazard-free. Under
+        # `lax.scan` (episodes, the multi-tick bench row) this lets XLA keep
+        # the loop-carried RtiState in one buffer set instead of copying
+        # ~150 MB/tick of kernel outputs into the carry slots (measured 8%
+        # of device time at B=65536 before aliasing).
+        input_output_aliases={
+            0: 0,  # xb -> xb_new
+            1: 1,  # ub -> ub_new
+            6: 2,  # warm lu_lo -> lu_lo out
+            7: 3,  # warm lu_up -> lu_up out
+            8: 4,  # warm lx_lo -> lx_lo out
+            9: 5,  # warm lx_up -> lx_up out
+            10: 6,  # warm mu -> mu out
+        },
         scratch_shapes=[
             # payload scratch (the HBM tensors of the two-kernel path)
             scr(Np1, 16, jd),  # hq

@@ -222,7 +222,14 @@ class ControllerDaemon:
                     return st.x_bar, st.u_bar
 
             self.ctl = _Scan()
-        self._update = jax.jit(self.ctl.update)
+        # donate the carried solver state on the packed-kernel path: the
+        # whole-step kernel aliases state inputs to outputs (in-place
+        # update); donation lets the dispatch reuse the buffers instead of
+        # a defensive copy. The scan backend must NOT donate — its reset()
+        # state shares the xr/ur buffers also passed as update arguments
+        # (donate(a) + a in one call is an XLA error).
+        donate = (0,) if getattr(self.ctl, "layout", "batch") == "kernel" else ()
+        self._update = jax.jit(self.ctl.update, donate_argnums=donate)
         self._gen_fix = jax.jit(lambda x: gen_fix_pt_ref(x, ocp, veh))
         # ONE reference function for every trajectory: goals are padded to
         # MAX_SEG segments (static shapes), so this compiles once at daemon
