@@ -238,8 +238,11 @@ def main():
             return rti, oks
 
         mt = jax.jit(k_ticks, donate_argnums=donate)
+        # the scan donates its carry; hand it a copy so `rti` stays alive
+        # for the sharded row below (donated buffers are deleted)
+        rti_m = jax.tree_util.tree_map(jnp.copy, rti)
         t0 = time.perf_counter()
-        rti_m, oks_m = mt(rti, x0, xr, ur, other)
+        rti_m, oks_m = mt(rti_m, x0, xr, ur, other)
         jax.block_until_ready(oks_m)
         mt_compile = time.perf_counter() - t0
         reps = int(os.environ.get("BENCH_MULTITICK_REPS", "4"))
